@@ -1,0 +1,40 @@
+"""Pure-JAX multi-objective environments (device-resident MO-Gymnasium parity)."""
+
+from .base import Box, Discrete, MOEnv, StepOut
+from .dst import DeepSeaTreasure
+from .fishwood import Fishwood, fishwood_utility
+from .fruit_tree import FruitTree
+from .minecart import Minecart
+from .mountaincar import MOMountainCar, MOMountainCarContinuous
+from .registry import ENV_REGISTRY, ENVS_WITH_KNOWN_PARETO_FRONT, make
+from .resource_gathering import ResourceGathering
+from .vector import (
+    EpisodeStats,
+    RewardNormState,
+    VecStepOut,
+    VectorMOEnv,
+    normalize_reward,
+)
+
+__all__ = [
+    "Box",
+    "Discrete",
+    "DeepSeaTreasure",
+    "ENVS_WITH_KNOWN_PARETO_FRONT",
+    "ENV_REGISTRY",
+    "EpisodeStats",
+    "Fishwood",
+    "FruitTree",
+    "Minecart",
+    "MOEnv",
+    "MOMountainCar",
+    "MOMountainCarContinuous",
+    "ResourceGathering",
+    "RewardNormState",
+    "StepOut",
+    "VecStepOut",
+    "VectorMOEnv",
+    "fishwood_utility",
+    "make",
+    "normalize_reward",
+]

@@ -1,0 +1,45 @@
+"""Env registry — name -> constructor, mirroring MO-Gymnasium ids.
+
+The reference builds envs by gym id via ``mo_gym.make`` (reference
+experiments/benchmark/launch_experiment.py:136-146); here ``make`` returns a
+pure-JAX MOEnv.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from .base import MOEnv
+from .dst import DeepSeaTreasure
+from .fishwood import Fishwood
+from .fruit_tree import FruitTree
+from .minecart import Minecart
+from .mountaincar import MOMountainCar, MOMountainCarContinuous
+from .resource_gathering import ResourceGathering
+
+ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
+    "deep-sea-treasure-v0": lambda **kw: DeepSeaTreasure(dst_map="convex", **kw),
+    "deep-sea-treasure-concave-v0": lambda **kw: DeepSeaTreasure(dst_map="concave", **kw),
+    "fishwood-v0": Fishwood,
+    "fruit-tree-v0": FruitTree,
+    "resource-gathering-v0": ResourceGathering,
+    "mo-mountaincar-v0": MOMountainCar,
+    "mo-mountaincarcontinuous-v0": MOMountainCarContinuous,
+    "minecart-v0": lambda **kw: Minecart(deterministic=False, **kw),
+    "minecart-deterministic-v0": lambda **kw: Minecart(deterministic=True, **kw),
+}
+
+# Envs whose exact discounted Pareto front is known (reference
+# common/experiments.py:45-52).
+ENVS_WITH_KNOWN_PARETO_FRONT = [
+    "deep-sea-treasure-v0",
+    "deep-sea-treasure-concave-v0",
+    "fruit-tree-v0",
+    "resource-gathering-v0",
+]
+
+
+def make(env_id: str, **kwargs) -> MOEnv:
+    if env_id not in ENV_REGISTRY:
+        raise KeyError(f"unknown env id {env_id!r}; known: {sorted(ENV_REGISTRY)}")
+    return ENV_REGISTRY[env_id](**kwargs)

@@ -1,0 +1,17 @@
+"""Device-resident functional replay buffers."""
+
+from .accrued import AccruedRewardReplayBuffer, AccruedTransition
+from .buffer import ReplayBuffer, Transition
+from .episodic import EpisodeBatch, EpisodicBuffer, crowding_distance
+from .prioritized import PrioritizedReplayBuffer
+
+__all__ = [
+    "AccruedRewardReplayBuffer",
+    "AccruedTransition",
+    "EpisodeBatch",
+    "EpisodicBuffer",
+    "PrioritizedReplayBuffer",
+    "ReplayBuffer",
+    "Transition",
+    "crowding_distance",
+]

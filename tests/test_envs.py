@@ -1,0 +1,209 @@
+"""Env behavior tests: dynamics invariants, vmapped rollouts, autoreset, stats."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morl_baselines_tpu.envs import (
+    DeepSeaTreasure,
+    EpisodeStats,
+    Fishwood,
+    FruitTree,
+    Minecart,
+    MOMountainCarContinuous,
+    ResourceGathering,
+    VectorMOEnv,
+    fishwood_utility,
+    make,
+    normalize_reward,
+    RewardNormState,
+)
+
+
+def rollout_random(env, key, n_steps=50):
+    """Scan a single env with random actions; returns stacked rewards/dones."""
+
+    def step_fn(carry, _):
+        state, k = carry
+        k, ka, ks = jax.random.split(k, 3)
+        action = env.action_space.sample(ka)
+        out = env.step(state, action, ks)
+        # same-step style manual reset for single env
+        rk = jax.random.fold_in(k, 0)
+        rs, robs = env.reset(rk)
+        done = out.terminated | out.truncated
+        state = jax.tree.map(lambda r, s: jnp.where(done, r, s), rs, out.state)
+        return (state, k), (out.reward, done)
+
+    state, _obs = env.reset(key)
+    (_, _), (rewards, dones) = jax.lax.scan(step_fn, (state, key), None, length=n_steps)
+    return np.asarray(rewards), np.asarray(dones)
+
+
+def test_dst_optimal_path():
+    env = DeepSeaTreasure()
+    state, obs = env.reset(jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(obs), [0.0, 0.0])
+    # go down once -> treasure 0.7, terminated
+    out = env.step(state, jnp.int32(1), jax.random.key(1))
+    assert bool(out.terminated)
+    np.testing.assert_allclose(np.asarray(out.reward), [0.7, -1.0])
+    # right then down twice -> treasure 8.2 at (2,1)
+    state, _ = env.reset(jax.random.key(0))
+    for a, want_term in [(3, False), (1, False), (1, True)]:
+        out = env.step(state, jnp.int32(a), jax.random.key(2))
+        state = out.state
+        assert bool(out.terminated) == want_term
+    assert float(out.reward[0]) == pytest.approx(8.2)
+
+
+def test_dst_ground_blocks():
+    env = DeepSeaTreasure()
+    state, _ = env.reset(jax.random.key(0))
+    # moving up from surface or left from col 0 keeps position
+    out = env.step(state, jnp.int32(0), jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(out.obs), [0.0, 0.0])
+    assert float(out.reward[1]) == -1.0
+
+
+def test_dst_pareto_front():
+    env = DeepSeaTreasure()
+    pf = env.pareto_front(gamma=0.99)
+    assert pf.shape == (10, 2)
+    # all returns negative time, positive treasure, sorted tradeoff
+    assert (pf[:, 0] > 0).all() and (pf[:, 1] < 0).all()
+    pf_c = DeepSeaTreasure(dst_map="concave").pareto_front(gamma=1.0)
+    assert pf_c[:, 0].max() == pytest.approx(124.0)
+
+
+def test_fishwood():
+    env = Fishwood()
+    rewards, dones = rollout_random(env, jax.random.key(0), 400)
+    # rewards are one-hot or zero
+    assert set(np.unique(rewards)) <= {0.0, 1.0}
+    assert dones.sum() >= 1  # truncates at 200
+    assert float(fishwood_utility(jnp.array([3.0, 7.0]))) == 3.0
+    assert float(fishwood_utility(jnp.array([5.0, 4.0]))) == 2.0
+
+
+def test_fruit_tree():
+    env = FruitTree(depth=5)
+    state, _ = env.reset(jax.random.key(0))
+    for i in range(5):
+        out = env.step(state, jnp.int32(1), jax.random.key(i))
+        state = out.state
+    assert bool(out.terminated)
+    assert float(jnp.linalg.norm(out.reward)) == pytest.approx(10.0, rel=1e-5)
+    pf = env.pareto_front(gamma=0.99)
+    assert pf.shape[1] == 6 and len(pf) >= 2
+
+
+def test_resource_gathering():
+    env = ResourceGathering(enemy_proba=0.0)
+    state, obs = env.reset(jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(obs), [4.0, 2.0, 0.0, 0.0])
+    # go up 3 to gem col? gem is at (1,4): up 3, right 2
+    actions = [0, 0, 0, 3, 3, 2, 2, 1, 1, 1]
+    for a in actions:
+        out = env.step(state, jnp.int32(a), jax.random.key(1))
+        state = out.state
+    assert bool(out.terminated)
+    np.testing.assert_allclose(np.asarray(out.reward), [0.0, 0.0, 1.0])
+
+
+def test_minecart_sell_cycle():
+    env = Minecart(deterministic=True)
+    env_step = jax.jit(env.step)
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (7,)
+    # drive at 45deg (toward middle mine at distance 0.7): ~8-step ramp to max
+    # speed 0.02 then cruise puts us in mine range (radius 0.14) near step 35
+    for _ in range(35):
+        out = env_step(state, jnp.int32(3), jax.random.key(1))
+        state = out.state
+    # brake down so we stop drifting, then mine a few times
+    for _ in range(5):
+        out = env_step(state, jnp.int32(4), jax.random.key(2))
+        state = out.state
+    for _ in range(3):
+        out = env_step(state, jnp.int32(0), jax.random.key(2))
+        state = out.state
+    cargo = np.asarray(state.cargo)
+    assert cargo.sum() > 0, "should have mined ore at the middle mine"
+    # turn around (12 lefts = 180deg) and drive home
+    for _ in range(12):
+        out = env_step(state, jnp.int32(1), jax.random.key(3))
+        state = out.state
+    sold = False
+    for _ in range(120):
+        out = env_step(state, jnp.int32(3), jax.random.key(4))
+        state = out.state
+        if bool(out.terminated):
+            sold = True
+            break
+    assert sold
+    r = np.asarray(out.reward)
+    assert r[0] > 0 and r[1] > 0 and r[2] < 0
+    pf = env.pareto_front(0.98)
+    assert pf.shape[1] == 3 and len(pf) >= 3
+
+
+def test_mountaincar_continuous():
+    env = MOMountainCarContinuous()
+    rewards, dones = rollout_random(env, jax.random.key(0), 100)
+    assert rewards.shape == (100, 2)
+    assert (rewards[:, 1] <= 0).all()
+
+
+def test_vector_env_autoreset_and_stats():
+    env = make("deep-sea-treasure-v0")
+    venv = VectorMOEnv(env, num_envs=16)
+    key = jax.random.key(0)
+    state, obs = venv.reset(key)
+    assert obs.shape == (16, 2)
+    stats = EpisodeStats.create(16, 2)
+
+    @jax.jit
+    def run(state, stats, key):
+        def body(carry, _):
+            state, stats, key = carry
+            key, ka, ks = jax.random.split(key, 3)
+            actions = jax.random.randint(ka, (16,), 0, 4)
+            out = venv.step(state, actions, ks)
+            done = out.terminated | out.truncated
+            stats, finished = stats.update(out.reward, done, 0.99)
+            return (out.state, stats, key), (finished, done)
+
+        (state, stats, key), (fin, dones) = jax.lax.scan(body, (state, stats, key), None, length=200)
+        return state, stats, fin, dones
+
+    state, stats, fin, dones = run(state, stats, key)
+    dones = np.asarray(dones)
+    assert dones.sum() > 0, "random policy should finish episodes in 200 steps"
+    fin_len = np.asarray(fin.length)
+    # finished lengths reported only at dones, positive there
+    assert (fin_len[dones] > 0).all()
+    assert (fin_len[~dones] == 0).all()
+    # time objective of a finished episode equals -length (DST gives -1/step)
+    fin_ret = np.asarray(fin.ret)
+    np.testing.assert_allclose(fin_ret[dones][:, 1], -fin_len[dones].astype(float))
+
+
+def test_reward_normalizer():
+    norm = RewardNormState.create(8, 2)
+    key = jax.random.key(0)
+    r = jax.random.normal(key, (8, 2)) * 5.0
+    done = jnp.zeros((8,), dtype=bool)
+    for _ in range(20):
+        norm, out = normalize_reward(norm, r, done, 0.99, clip=10.0)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.asarray(norm.var).shape == (2,)
+
+
+def test_registry():
+    for name in ["deep-sea-treasure-v0", "fishwood-v0", "fruit-tree-v0", "minecart-v0"]:
+        env = make(name)
+        state, obs = env.reset(jax.random.key(0))
+        out = env.step(state, env.action_space.sample(jax.random.key(1)), jax.random.key(2))
+        assert out.reward.shape == (env.reward_dim,)

@@ -113,7 +113,7 @@ class GPILS(MOAgentBase):
         key = key if key is not None else jax.random.key(cfg.seed)
         kp, ke, key = jax.random.split(key, 3)
         dummy = (jnp.zeros((1, self.obs_dim)), jnp.zeros((1, self.reward_dim)))
-        params = self.q_net.init(kp, *dummy, deterministic=True)
+        params = self.q_net.init(kp, *dummy, True)
         tx_parts = [optax.adam(cfg.learning_rate)]
         if cfg.max_grad_norm is not None:
             tx_parts.insert(0, optax.clip_by_global_norm(cfg.max_grad_norm))
@@ -156,7 +156,7 @@ class GPILS(MOAgentBase):
 
     def _q_values(self, params, obs, w, key=None):
         """(n_critics, B, A, d) forward; deterministic (no dropout) for acting."""
-        return self.q_net.apply(params, obs, w, deterministic=True)
+        return self.q_net.apply(params, obs, w, True)
 
     def _gpi_actions(self, params, obs, w, support, support_size):
         """Batched GPI action: argmax over valid support policies of max_a w·Q.
@@ -189,7 +189,7 @@ class GPILS(MOAgentBase):
         cfg = self.cfg
         k_inds, k_drop_t, k_drop, _ = jax.random.split(key, 4)
         psi_next = self.q_net.apply(
-            ts.target_params, batch.next_obs, w, deterministic=False, rngs={"dropout": k_drop_t}
+            ts.target_params, batch.next_obs, w, False, rngs={"dropout": k_drop_t}
         )  # (C, B, A, d)
         if cfg.n_critics > 2:
             inds = jax.random.randint(k_inds, (2,), 0, cfg.n_critics)
@@ -203,7 +203,7 @@ class GPILS(MOAgentBase):
         target_psi = batch.reward + (1.0 - batch.terminated[:, None]) * cfg.gamma * target_next
 
         def loss_fn(params):
-            psi = self.q_net.apply(params, batch.obs, w, deterministic=False, rngs={"dropout": k_drop})
+            psi = self.q_net.apply(params, batch.obs, w, False, rngs={"dropout": k_drop})
             psi_sa = jnp.take_along_axis(
                 psi, batch.action[None, :, None, None].astype(jnp.int32), axis=2
             ).squeeze(2)  # (C, B, d)

@@ -83,6 +83,23 @@ def non_dominated_count(points: jnp.ndarray, valid: jnp.ndarray | None = None) -
     return jnp.sum(non_dominated_mask(points, valid))
 
 
+def lorenz_vector(points: jnp.ndarray, lmbda: float = 1.0) -> jnp.ndarray:
+    """Lorenz transform: cumulative sum of ascending-sorted objectives.
+
+    x Lorenz-dominates y iff lorenz(x) Pareto-dominates lorenz(y) (LCN,
+    reference multi_policy/lcn/lcn.py:26-45).  ``lmbda`` < 1 interpolates
+    between plain objectives and the Lorenz vector (lambda-Lorenz dominance
+    for adjustable fairness, reference lcn.py:226-237).
+    """
+    p = jnp.asarray(points)
+    lz = jnp.cumsum(jnp.sort(p, axis=-1), axis=-1)
+    return lmbda * lz + (1.0 - lmbda) * p
+
+
+def lorenz_dominates(a: jnp.ndarray, b: jnp.ndarray, lmbda: float = 1.0) -> jnp.ndarray:
+    return pareto_dominates(lorenz_vector(a, lmbda), lorenz_vector(b, lmbda))
+
+
 # ---------------------------------------------------------------------------
 # Host-side helpers (numpy) — for outer loops that genuinely need compaction.
 # ---------------------------------------------------------------------------

@@ -27,8 +27,8 @@ class SquashedGaussianActor(nn.Module):
     hidden: Sequence[int] = (256, 256)
 
     @nn.compact
-    def __call__(self, obs, w):
-        x = jnp.concatenate([obs, w], axis=-1)
+    def __call__(self, obs, w=None):
+        x = obs if w is None else jnp.concatenate([obs, w], axis=-1)
         x = MLP(hidden=self.hidden, final_activation=True)(x)
         mean = nn.Dense(self.action_dim)(x)
         log_std = nn.Dense(self.action_dim)(x)
@@ -61,15 +61,20 @@ class DeterministicActor(nn.Module):
 
 
 class ContinuousQNet(nn.Module):
-    """Q(s, a, w) -> R^d (vector critic; reference mosac_continuous_action.py:28-66)."""
+    """Vector critic Q(s, a[, w]) -> R^d (reference mosac_continuous_action.py:28-66).
+
+    Weight conditioning (w not None) is used by CAPQL / GPI-PD-continuous;
+    MOSAC's per-policy critics omit it (each policy has a fixed weight).
+    """
 
     reward_dim: int
     hidden: Sequence[int] = (256, 256)
     use_layernorm: bool = False
 
     @nn.compact
-    def __call__(self, obs, action, w):
-        x = jnp.concatenate([obs, action, w], axis=-1)
+    def __call__(self, obs, action, w=None):
+        parts = [obs, action] if w is None else [obs, action, w]
+        x = jnp.concatenate(parts, axis=-1)
         x = MLP(hidden=self.hidden, final_activation=True, use_layernorm=self.use_layernorm)(x)
         return nn.Dense(self.reward_dim)(x)
 
@@ -81,8 +86,8 @@ class DiscreteSACActor(nn.Module):
     hidden: Sequence[int] = (256, 256)
 
     @nn.compact
-    def __call__(self, obs, w):
-        x = jnp.concatenate([obs, w], axis=-1)
+    def __call__(self, obs, w=None):
+        x = obs if w is None else jnp.concatenate([obs, w], axis=-1)
         x = MLP(hidden=self.hidden, final_activation=True)(x)
         return nn.Dense(self.num_actions)(x)
 
@@ -95,7 +100,7 @@ class DiscreteQNet(nn.Module):
     hidden: Sequence[int] = (256, 256)
 
     @nn.compact
-    def __call__(self, obs, w):
-        x = jnp.concatenate([obs, w], axis=-1)
+    def __call__(self, obs, w=None):
+        x = obs if w is None else jnp.concatenate([obs, w], axis=-1)
         x = MLP(hidden=self.hidden, output_dim=self.num_actions * self.reward_dim)(x)
         return x.reshape((*x.shape[:-1], self.num_actions, self.reward_dim))

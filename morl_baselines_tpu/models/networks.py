@@ -69,7 +69,7 @@ class MLP(nn.Module):
     final_activation: bool = False
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         act = _ACTS[self.activation]
         for h in self.hidden:
             x = nn.Dense(h)(x)
@@ -116,7 +116,7 @@ class WeightConditionedQNet(nn.Module):
     use_layernorm: bool = False
 
     @nn.compact
-    def __call__(self, obs, w, *, deterministic: bool = True):
+    def __call__(self, obs, w, deterministic: bool = True):
         h = self.hidden[0]
         sf = MLP(hidden=(h,), final_activation=False)(obs)
         wf = MLP(hidden=(h,), final_activation=False)(w)
@@ -126,7 +126,7 @@ class WeightConditionedQNet(nn.Module):
             output_dim=self.num_actions * self.reward_dim,
             dropout_rate=self.dropout_rate,
             use_layernorm=self.use_layernorm,
-        )(x, deterministic=deterministic)
+        )(x, deterministic)
         return x.reshape((*x.shape[:-1], self.num_actions, self.reward_dim))
 
 
@@ -153,7 +153,7 @@ def ensemble(module_cls, num: int, **kwargs):
     """
     return nn.vmap(
         module_cls,
-        in_axes=None,
+        in_axes=None,  # all positional inputs (incl. the deterministic flag) broadcast
         out_axes=0,
         variable_axes={"params": 0},
         split_rngs={"params": True, "dropout": True},

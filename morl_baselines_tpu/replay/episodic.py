@@ -50,28 +50,36 @@ class EpisodicBuffer(NamedTuple):
         )
         return EpisodicBuffer(data=data, size=jnp.int32(0))
 
-    def add_episodes(self, eps: EpisodeBatch) -> "EpisodicBuffer":
+    def add_episodes(self, eps: EpisodeBatch, lorenz_lambda: float | None = None) -> "EpisodicBuffer":
         """Append episodes then evict down to capacity by PCN's ranking.
 
         Score (to KEEP) = -(distance to non-dominated set) with a crowding
         penalty subtracted from near-duplicates, reproducing reference
-        pcn.py:250-279's heap key on device with static shapes.
+        pcn.py:250-279's heap key on device with static shapes.  With
+        ``lorenz_lambda`` the ranking uses (lambda-)Lorenz dominance (LCN,
+        reference lcn.py:226-237).
         """
         cat = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), self.data, eps)
-        n_total = cat.vec_return.shape[0]
-        valid = jnp.arange(n_total) < (self.size + eps.vec_return.shape[0])
-        score = _pcn_keep_score(cat.vec_return, valid)
         cap = self.capacity
+        n_new = eps.vec_return.shape[0]
+        valid = jnp.concatenate([jnp.arange(cap) < self.size, jnp.ones((n_new,), dtype=bool)])
+        rank_vals = cat.vec_return
+        if lorenz_lambda is not None:
+            from ..core.pareto import lorenz_vector
+
+            rank_vals = jnp.where(valid[:, None], lorenz_vector(cat.vec_return, lorenz_lambda), -jnp.inf)
+        score = _pcn_keep_score(rank_vals, valid)
         _, top = jax.lax.top_k(jnp.where(valid, score, -jnp.inf), cap)
         data = jax.tree.map(lambda x: x[top], cat)
-        new_size = jnp.minimum(self.size + eps.vec_return.shape[0], cap)
+        new_size = jnp.minimum(self.size + n_new, cap)
         return EpisodicBuffer(data=data, size=new_size)
 
-    def sample_steps(self, key: jax.Array, batch_size: int):
+    def sample_steps(self, key: jax.Array, batch_size: int, gamma: float = 1.0):
         """Sample (episode, t) pairs uniformly over valid steps.
 
-        Returns obs, action, desired_return (reward-to-go), desired_horizon —
-        exactly the supervision tuple PCN trains on (reference pcn.py:202-236).
+        Returns obs, action, desired_return (discounted reward-to-go from t),
+        desired_horizon — the supervision tuple PCN trains on (reference
+        pcn.py:202-240; episode rewards are accumulated as discounted-to-go).
         """
         k1, k2 = jax.random.split(key)
         e = jax.random.randint(k1, (batch_size,), 0, jnp.maximum(self.size, 1))
@@ -80,11 +88,11 @@ class EpisodicBuffer(NamedTuple):
         t = jnp.clip(t, 0, self.max_len - 1)
         obs = self.data.obs[e, t]
         action = self.data.action[e, t]
-        # reward-to-go from t (undiscounted cumulative from behind, as PCN does)
-        csum = jnp.cumsum(self.data.reward[e], axis=1)
-        total = csum[jnp.arange(batch_size), lengths - 1]
-        before = jnp.where((t > 0)[:, None], csum[jnp.arange(batch_size), jnp.maximum(t - 1, 0)], 0.0)
-        rtg = total - before
+        # discounted reward-to-go: sum_k>=t gamma^(k-t) r_k, masked to episode length
+        ks = jnp.arange(self.max_len)[None, :]  # (1, T)
+        mask = (ks >= t[:, None]) & (ks < lengths[:, None])
+        disc = jnp.where(mask, gamma ** (ks - t[:, None]).astype(jnp.float32), 0.0)
+        rtg = jnp.einsum("btd,bt->bd", self.data.reward[e], disc)
         horizon = (lengths - t).astype(jnp.float32)
         return obs, action, rtg, horizon
 

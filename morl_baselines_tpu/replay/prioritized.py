@@ -85,6 +85,11 @@ class PrioritizedReplayBuffer(NamedTuple):
         probs = self.priorities[idx] / jnp.maximum(total, 1e-12)
         return batch, idx, probs
 
+    def sample_obs(self, key: jax.Array, batch_size: int) -> jnp.ndarray:
+        """Uniform observation sample (Dyna rollout starts, reference buffer.py:118-124)."""
+        idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(self.size, 1))
+        return self.data.obs[idx]
+
     def update_priorities(self, idx: jnp.ndarray, priorities: jnp.ndarray) -> "PrioritizedReplayBuffer":
         """Scatter new priorities, tracking the running max (reference :197-205)."""
         p = jnp.maximum(priorities, 1e-12)

@@ -44,8 +44,9 @@ def main() -> None:
     agent = Envelope(env, cfg)
     state = agent.init_state(jax.random.key(0))
 
-    # warmup/compile
-    state = agent.train_segment(state, 4)
+    # warmup/compile with the SAME static segment length as the timed run, so
+    # the timed region contains zero compilation
+    state = agent.train_segment(state, iters)
     jax.block_until_ready(state.obs)
 
     t0 = time.perf_counter()

@@ -44,22 +44,42 @@ class MOAgentBase:
 
     # -- checkpointing ------------------------------------------------------
 
+    @staticmethod
+    def _unwrap_keys(tree: Any) -> Any:
+        """PRNG key leaves -> raw uint32 data (orbax can't serialize key dtype)."""
+        import jax.numpy as jnp
+
+        def f(x):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                return jax.random.key_data(x)
+            return x
+
+        return jax.tree.map(f, tree)
+
     def save(self, state: Any, path: str | Path) -> None:
         """Orbax checkpoint of the full algorithm state pytree.
 
         Uniform across algorithms (replaces the reference's per-algo ad-hoc
-        th.save dicts, e.g. envelope.py:230-261).
+        th.save dicts, e.g. envelope.py:230-261).  PRNG keys are stored as
+        their raw key data.
         """
         import orbax.checkpoint as ocp
 
         path = Path(path).absolute()
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(path, jax.device_get(self._unwrap_keys(state)), force=True)
 
     def load(self, template: Any, path: str | Path) -> Any:
+        import jax.numpy as jnp
         import orbax.checkpoint as ocp
 
         path = Path(path).absolute()
         ckptr = ocp.PyTreeCheckpointer()
-        restored = ckptr.restore(path, item=jax.device_get(template))
-        return jax.tree.map(lambda t, r: jax.numpy.asarray(r, dtype=np.asarray(t).dtype), template, restored)
+        restored = ckptr.restore(path, item=jax.device_get(self._unwrap_keys(template)))
+
+        def rewrap(t, r):
+            if hasattr(t, "dtype") and jnp.issubdtype(t.dtype, jax.dtypes.prng_key):
+                return jax.random.wrap_key_data(jnp.asarray(r, dtype=jnp.uint32))
+            return jnp.asarray(r, dtype=np.asarray(t).dtype)
+
+        return jax.tree.map(rewrap, template, restored)

@@ -255,7 +255,12 @@ class Envelope(MOAgentBase):
                     return (ts, buffer), loss
 
                 keys = jax.random.split(k_upd, cfg.gradient_updates)
-                (ts, buffer), losses = jax.lax.scan(one, (ts, buffer), keys)
+                if cfg.gradient_updates == 1:
+                    # avoid a nested scan inside lax.cond (pathological on some
+                    # backends); single update inlined
+                    (ts, buffer), _ = one((ts, buffer), keys[0])
+                else:
+                    (ts, buffer), losses = jax.lax.scan(one, (ts, buffer), keys)
                 return ts, buffer
 
             can_learn = (global_step >= cfg.learning_starts) & (iter_count % cfg.train_freq == 0)

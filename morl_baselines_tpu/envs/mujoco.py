@@ -1,0 +1,160 @@
+"""MO-MuJoCo environments — host-stepped gymnasium physics behind the pure API.
+
+Counterpart of MO-Gymnasium's MuJoCo suite (mo-hopper, mo-halfcheetah, ...)
+used by the reference's continuous-control benchmarks (BASELINE configs;
+reference tests use mo-hopper-v5).  MJX is not available in this image, so
+the MuJoCo step runs on host inside ``jax.experimental.io_callback`` while
+exposing exactly the same pure-functional ``reset(key)/step(state, a, key)``
+API as the device envs — agents, vector wrappers, scans, and the vmapped
+evaluation pipeline work unchanged (io_callback with ordered=False is
+vmappable; the callback is applied per batch element).
+
+Env state on device is just a slot index into a host-side pool of gymnasium
+env instances (allocated round-robin on reset).  The vector of rewards is
+computed from the info dict the way MO-Gymnasium decomposes them:
+
+- mo-hopper-v5: (forward velocity, jump height 10*(z - z_init), -energy)
+- mo-halfcheetah-v5: (forward velocity, -energy)
+
+This path trades throughput for parity (one host round-trip per step); the
+device-resident envs remain the performance path.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Box, MOEnv, StepOut
+
+
+class _HostPool:
+    """Round-robin pool of gymnasium env instances, host side."""
+
+    def __init__(self, make_fn: Callable, max_envs: int = 4096):
+        self.make_fn = make_fn
+        self.max_envs = max_envs
+        self.envs: list = []
+        self.counter = 0
+        self.lock = threading.Lock()
+
+    def alloc(self) -> int:
+        with self.lock:
+            if len(self.envs) < self.max_envs:
+                self.envs.append(self.make_fn())
+                return len(self.envs) - 1
+            slot = self.counter % self.max_envs
+            self.counter += 1
+            return slot
+
+    def env(self, slot: int):
+        return self.envs[int(slot)]
+
+
+class MOMuJoCoEnv(MOEnv):
+    """Host-stepped MuJoCo env with vector rewards behind the functional API."""
+
+    def __init__(
+        self,
+        gym_id: str,
+        reward_dim: int,
+        mo_reward_fn: Callable[[np.ndarray, np.ndarray, float, dict], np.ndarray],
+        name: str,
+        max_episode_steps: int = 1000,
+    ):
+        import gymnasium
+
+        probe = gymnasium.make(gym_id)
+        self._gym_id = gym_id
+        self._obs_dim = int(np.prod(probe.observation_space.shape))
+        self._act_dim = int(np.prod(probe.action_space.shape))
+        self.observation_space = Box(
+            low=tuple(np.full(self._obs_dim, -np.inf)), high=tuple(np.full(self._obs_dim, np.inf))
+        )
+        self.action_space = Box(low=tuple(-np.ones(self._act_dim)), high=tuple(np.ones(self._act_dim)))
+        self.reward_dim = reward_dim
+        self.name = name
+        self.max_episode_steps = max_episode_steps
+        self._mo_reward_fn = mo_reward_fn
+        self._act_scale = (probe.action_space.high - probe.action_space.low) / 2.0
+        self._act_bias = (probe.action_space.high + probe.action_space.low) / 2.0
+        probe.close()
+        self._pool = _HostPool(lambda: gymnasium.make(gym_id))
+
+    # ---- host callbacks ----------------------------------------------------
+
+    def _host_reset(self, seed):
+        slot = self._pool.alloc()
+        obs, _info = self._pool.env(slot).reset(seed=int(np.asarray(seed)) % (2**31 - 1))
+        return np.int32(slot), np.asarray(obs, dtype=np.float32)
+
+    def _host_step(self, slot, action):
+        env = self._pool.env(int(slot))
+        a = np.asarray(action, dtype=np.float64) * self._act_scale + self._act_bias
+        obs, _r, term, trunc, info = env.step(a)
+        mo_r = self._mo_reward_fn(np.asarray(obs), a, float(_r), info)
+        return (
+            np.asarray(obs, dtype=np.float32),
+            np.asarray(mo_r, dtype=np.float32),
+            np.bool_(term),
+            np.bool_(trunc),
+        )
+
+    # ---- functional API ----------------------------------------------------
+
+    def reset(self, key: jax.Array):
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        slot, obs = jax.experimental.io_callback(
+            self._host_reset,
+            (jax.ShapeDtypeStruct((), jnp.int32), jax.ShapeDtypeStruct((self._obs_dim,), jnp.float32)),
+            seed,
+            ordered=False,
+            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        )
+        return (slot, jnp.int32(0)), obs
+
+    def step(self, state, action, key: jax.Array) -> StepOut:
+        slot, t = state
+        obs, reward, term, trunc = jax.experimental.io_callback(
+            self._host_step,
+            (
+                jax.ShapeDtypeStruct((self._obs_dim,), jnp.float32),
+                jax.ShapeDtypeStruct((self.reward_dim,), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.bool_),
+                jax.ShapeDtypeStruct((), jnp.bool_),
+            ),
+            slot,
+            jnp.asarray(action, dtype=jnp.float32).reshape(self._act_dim),
+            ordered=False,
+            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        )
+        t = t + 1
+        return StepOut((slot, t), obs, reward, term, trunc | (t >= self.max_episode_steps))
+
+
+def _hopper_mo_reward(obs, action, scalar_r, info):
+    """(velocity, jump height, energy) — MO-Gymnasium mo-hopper decomposition."""
+    vx = info.get("x_velocity", 0.0)
+    z = obs[0]  # hopper obs[0] is the torso height
+    height = 10.0 * (z - 1.25)  # 1.25 = initial torso height
+    energy = -2e-4 * float(np.sum(np.square(action)))
+    return np.array([vx, height, energy], dtype=np.float32)
+
+
+def _halfcheetah_mo_reward(obs, action, scalar_r, info):
+    """(velocity, energy) — MO-Gymnasium mo-halfcheetah decomposition."""
+    vx = info.get("x_velocity", 0.0)
+    energy = -0.1 * float(np.sum(np.square(action)))
+    return np.array([vx, energy], dtype=np.float32)
+
+
+def make_mo_hopper(max_episode_steps: int = 1000) -> MOMuJoCoEnv:
+    return MOMuJoCoEnv("Hopper-v5", 3, _hopper_mo_reward, "mo-hopper-v5", max_episode_steps)
+
+
+def make_mo_halfcheetah(max_episode_steps: int = 1000) -> MOMuJoCoEnv:
+    return MOMuJoCoEnv("HalfCheetah-v5", 2, _halfcheetah_mo_reward, "mo-halfcheetah-v5", max_episode_steps)

@@ -17,6 +17,15 @@ from .minecart import Minecart
 from .mountaincar import MOMountainCar, MOMountainCarContinuous
 from .resource_gathering import ResourceGathering
 
+
+def _mujoco_env(maker):
+    def build(**kw):
+        from .mujoco import make_mo_halfcheetah, make_mo_hopper
+
+        return {"hopper": make_mo_hopper, "halfcheetah": make_mo_halfcheetah}[maker](**kw)
+
+    return build
+
 ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     "deep-sea-treasure-v0": lambda **kw: DeepSeaTreasure(dst_map="convex", **kw),
     "deep-sea-treasure-concave-v0": lambda **kw: DeepSeaTreasure(dst_map="concave", **kw),
@@ -27,6 +36,9 @@ ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     "mo-mountaincarcontinuous-v0": MOMountainCarContinuous,
     "minecart-v0": lambda **kw: Minecart(deterministic=False, **kw),
     "minecart-deterministic-v0": lambda **kw: Minecart(deterministic=True, **kw),
+    # host-stepped MuJoCo (io_callback adapter; MJX unavailable in this image)
+    "mo-hopper-v5": _mujoco_env("hopper"),
+    "mo-halfcheetah-v5": _mujoco_env("halfcheetah"),
 }
 
 # Envs whose exact discounted Pareto front is known (reference

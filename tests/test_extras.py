@@ -1,0 +1,79 @@
+"""Tests: Pallas kernel parity, MuJoCo host adapter, DiverseMemory, checkpoints."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from morl_baselines_tpu.core.pareto import non_dominated_mask
+from morl_baselines_tpu.ops.pareto_kernel import non_dominated_mask_pallas
+from morl_baselines_tpu.replay import DiverseMemory, Transition
+
+
+def test_pallas_nd_mask_matches_jnp():
+    rng = np.random.default_rng(3)
+    for n, d in [(100, 2), (300, 4)]:
+        pts = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        valid = jnp.asarray(rng.uniform(size=n) > 0.3)
+        ref = non_dominated_mask(pts, valid)
+        got = non_dominated_mask_pallas(pts, valid, interpret=True)
+        assert bool(jnp.array_equal(ref, got))
+
+
+def test_mujoco_host_adapter():
+    pytest.importorskip("gymnasium")
+    pytest.importorskip("mujoco")
+    from morl_baselines_tpu.envs import make
+    from morl_baselines_tpu.envs.vector import VectorMOEnv
+
+    env = make("mo-halfcheetah-v5")
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (env.obs_dim,)
+    out = env.step(state, jnp.zeros(env.action_dim), jax.random.key(1))
+    assert out.reward.shape == (2,)
+    venv = VectorMOEnv(env, 3)
+    vs, vobs = venv.reset(jax.random.key(2))
+    vout = jax.jit(venv.step)(vs, jnp.zeros((3, env.action_dim)), jax.random.key(3))
+    assert vout.reward.shape == (3, 2)
+    assert np.isfinite(np.asarray(vout.reward)).all()
+
+
+def test_diverse_memory():
+    mem = DiverseMemory.create(capacity=8, sec_capacity=4, obs_dim=2, reward_dim=2, num_trees=2)
+
+    def tr(v):
+        return Transition(
+            obs=jnp.full((1, 2), v),
+            action=jnp.zeros(1, dtype=jnp.int32),
+            reward=jnp.full((1, 2), v),
+            next_obs=jnp.zeros((1, 2)),
+            terminated=jnp.zeros(1),
+        )
+
+    for i in range(12):  # overflow the ring -> promotions considered
+        mem = mem.add_batch(tr(float(i)), jnp.full((1, 2), float(i)))
+    assert int(mem.size) == 8
+    batch, idx, probs = mem.sample(jax.random.key(0), 16, tree=0)
+    assert batch.obs.shape == (16, 2)
+    mem = mem.update_priorities(idx[:4], jnp.ones(4) * 5.0, tree=1)
+    assert float(mem.max_priority) == 5.0
+    sec, _ = mem.sample_secondary(jax.random.key(1), 4)
+    assert sec.obs.shape == (4, 2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from morl_baselines_tpu.agents import MOQLearning, MOQLearningConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("deep-sea-treasure-v0")
+    agent = MOQLearning(env, weights=np.array([0.5, 0.5]), config=MOQLearningConfig(num_envs=4))
+    state = agent.init_state()
+    state = agent.train_segment(state, 10)
+    agent.save(state, tmp_path / "ckpt")
+    fresh = agent.init_state()
+    restored = agent.load(fresh, tmp_path / "ckpt")
+    np.testing.assert_allclose(np.asarray(restored.q_table), np.asarray(state.q_table))
+    assert int(restored.global_step) == int(state.global_step)
+    # restored state continues training
+    restored = agent.train_segment(restored, 5)
+    assert int(restored.global_step) == int(state.global_step) + 20

@@ -74,6 +74,8 @@ class GPILSConfig:
     per_alpha: float = 0.6
     max_support: int = 32  # fixed capacity of the weight-support set M
     use_gpi: bool = True
+    gpi_type: str = "gpi"  # "gpi" | "ugpi" (pessimistic, reference gpi_ls_jax.py:534)
+    pessimism: float = 0.95
     seed: int = 0
 
 
@@ -181,6 +183,31 @@ class GPILS(MOAgentBase):
         psi = self._q_values(params, obs, w)  # (C, N, A, d)
         q = jnp.einsum("nd,cnad->cna", w, psi).mean(axis=0)
         return jnp.argmax(q, axis=-1)
+
+    # Student-t critical values at n=10, as the reference hardcodes
+    # (gpi_ls_jax.py ugpi_action :556-563)
+    _TINV = {0.9: 1.383029, 0.95: 1.833113, 0.99: 2.821438}
+
+    def _ugpi_actions(self, params, obs, w, support, support_size, pessimism: float = 0.95):
+        """Uncertainty-aware GPI: lower-confidence-bound Q over the critic
+        ensemble before the max over support policies (reference ugpi_action
+        gpi_ls_jax.py:534-570)."""
+        N = obs.shape[0]
+        M = support.shape[0]
+        obs_nm = jnp.repeat(obs, M, axis=0)
+        sup_nm = jnp.tile(support, (N, 1))
+        psi = self._q_values(params, obs_nm, sup_nm)  # (C, N*M, A, d)
+        q = jnp.einsum("nd,cnmad->cnma", w, psi.reshape(psi.shape[0], N, M, -1, self.reward_dim))
+        n_crit = q.shape[0]
+        if pessimism == 1.0:
+            q_lcb = q.mean(axis=0) - q.std(axis=0)
+        else:
+            tinv = self._TINV.get(pessimism, 1.833113)
+            q_lcb = q.mean(axis=0) - q.std(axis=0) / jnp.sqrt(float(n_crit)) * tinv
+        valid = (jnp.arange(M) < support_size)[None, :, None]
+        q_lcb = jnp.where(valid, q_lcb, -jnp.inf)
+        pol = jnp.argmax(jnp.max(q_lcb, axis=2), axis=1)
+        return jnp.argmax(jnp.take_along_axis(q_lcb, pol[:, None, None], axis=1).squeeze(1), axis=1)
 
     # ---------------------------------------------------------------- update
 
@@ -326,8 +353,12 @@ class GPILS(MOAgentBase):
     # ------------------------------------------------------------------ eval
 
     def act_eval(self, params, support, support_size, obs, w, key=None):
-        """GPI action for evaluation (single obs)."""
+        """GPI action for evaluation (single obs); ugpi applies the LCB ensemble bound."""
         if self.cfg.use_gpi:
+            if self.cfg.gpi_type == "ugpi":
+                return self._ugpi_actions(
+                    params, obs[None], w[None], support, support_size, self.cfg.pessimism
+                )[0]
             return self._gpi_actions(params, obs[None], w[None], support, support_size)[0]
         return self._max_actions(params, obs[None], w[None])[0]
 

@@ -1,0 +1,61 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morl_baselines_tpu.parallel import batch_sharded, make_mesh, replicated, shard_agent_state
+
+
+def test_mesh_and_shardings():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(8, ("data",))
+    assert mesh.shape == {"data": 8}
+    mesh2 = make_mesh(8, ("pop", "data"), shape=(2, 4))
+    assert mesh2.shape == {"pop": 2, "data": 4}
+
+
+def test_sharded_envelope_segment():
+    """Full actor-learner segment with env batch sharded over 8 devices.
+
+    XLA must insert the psum gradient reduction automatically (params are
+    replicated, batch contributions are sharded).
+    """
+    from morl_baselines_tpu.agents import Envelope, EnvelopeConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("deep-sea-treasure-v0")
+    cfg = EnvelopeConfig(
+        num_envs=16, buffer_size=256, batch_size=16, hidden=(32, 32),
+        learning_starts=8, target_net_update_freq=4, num_sample_w=2,
+    )
+    agent = Envelope(env, cfg)
+    state = agent.init_state(jax.random.key(0))
+    mesh = make_mesh(8, ("data",))
+    state = shard_agent_state(state, mesh, batched_fields={"env_state", "obs", "weights", "stats"})
+    # verify placement: obs sharded over 8 devices, params replicated
+    assert len(state.obs.sharding.device_set) == 8
+    state = agent.train_segment(state, 4)
+    jax.block_until_ready(state.ts.params)
+    assert int(state.global_step) == 64
+    assert np.isfinite(np.asarray(jax.tree.leaves(state.ts.params)[0])).all()
+
+
+def test_sharded_vs_single_device_equivalence():
+    """The sharded program computes the same result as the unsharded one."""
+    from morl_baselines_tpu.agents import MOQLearning, MOQLearningConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("deep-sea-treasure-v0")
+    agent = MOQLearning(env, weights=np.array([0.5, 0.5]), config=MOQLearningConfig(num_envs=8))
+    s1 = agent.init_state(jax.random.key(0))
+    s1 = agent.train_segment(s1, 20)
+
+    agent2 = MOQLearning(env, weights=np.array([0.5, 0.5]), config=MOQLearningConfig(num_envs=8))
+    s2 = agent2.init_state(jax.random.key(0))
+    mesh = make_mesh(8, ("data",))
+    s2 = shard_agent_state(s2, mesh, batched_fields={"env_state", "obs", "stats"})
+    s2 = agent2.train_segment(s2, 20)
+
+    np.testing.assert_allclose(np.asarray(s1.q_table), np.asarray(s2.q_table), rtol=1e-5, atol=1e-6)

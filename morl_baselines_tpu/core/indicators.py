@@ -141,7 +141,8 @@ def hypervolume(front, ref_point, valid=None) -> float:
     """Exact hypervolume (host).  Drop-in for reference performance_indicators.py:15.
 
     Accepts numpy or jax arrays; applies the valid mask; dispatches to the
-    2-D staircase or the general WFG recursion.
+    native C++ WFG kernel (native/morl_native.cpp) when built, else the numpy
+    WFG recursion.
     """
     front = np.asarray(front, dtype=np.float64)
     ref = np.asarray(ref_point, dtype=np.float64)
@@ -149,6 +150,11 @@ def hypervolume(front, ref_point, valid=None) -> float:
         front = front[np.asarray(valid)]
     if len(front) == 0:
         return 0.0
+    from ..utils import native
+
+    out = native.hv_exact(front, ref)
+    if out is not None:
+        return out
     return _hv_wfg(front, ref)
 
 

@@ -106,10 +106,20 @@ def lorenz_dominates(a: jnp.ndarray, b: jnp.ndarray, lmbda: float = 1.0) -> jnp.
 
 
 def filter_pareto_dominated(points: np.ndarray, keep_duplicates: bool = True) -> np.ndarray:
-    """Host-side compacting filter (reference pareto.py:60-73 semantics)."""
+    """Host-side compacting filter (reference pareto.py:60-73 semantics).
+
+    Large archives with duplicates kept go through the native O(n^2 d) kernel
+    (native/morl_native.cpp) when built; otherwise the jnp mask.
+    """
     points = np.asarray(points)
     if len(points) == 0:
         return points
+    if keep_duplicates and len(points) >= 256:
+        from ..utils import native
+
+        mask = native.pareto_mask(np.asarray(points, dtype=np.float64))
+        if mask is not None:
+            return points[mask]
     mask = np.asarray(non_dominated_mask(jnp.asarray(points), keep_duplicates=keep_duplicates))
     return points[mask]
 

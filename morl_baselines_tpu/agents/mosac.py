@@ -126,9 +126,8 @@ class MOSAC(MOAgentBase):
 
     # ---------------------------------------------------------------- update
 
-    def _update(self, s: MOSACState, batch: Transition, key: jax.Array) -> MOSACState:
+    def _update(self, s: MOSACState, batch: Transition, key: jax.Array, w: jnp.ndarray) -> MOSACState:
         cfg = self.cfg
-        w = self.w
         k1, k2, k3 = jax.random.split(key, 3)
         alpha = jnp.exp(s.log_alpha)
 
@@ -186,9 +185,9 @@ class MOSAC(MOAgentBase):
         )
 
     @partial(jax.jit, static_argnums=(0,))
-    def update_once(self, state: MOSACState, batch: Transition, key: jax.Array) -> MOSACState:
+    def update_once(self, state: MOSACState, batch: Transition, key: jax.Array, w=None) -> MOSACState:
         """Jitted single off-policy update (MORL/D cooperation passes)."""
-        return self._update(state, batch, key)
+        return self._update(state, batch, key, self.w if w is None else w)
 
     # ---------------------------------------------------------- train segment
 
@@ -198,10 +197,15 @@ class MOSAC(MOAgentBase):
         return a
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def train_segment(self, state: MOSACState, buffer: ReplayBuffer, num_iters: int):
+    def train_segment(self, state: MOSACState, buffer: ReplayBuffer, num_iters: int, w=None):
         """Scanned act->step->store->update segment; buffer passed separately so
-        MORL/D can share one buffer across the population (reference :341-347)."""
+        MORL/D can share one buffer across the population (reference :341-347).
+
+        ``w`` optionally overrides the baked-in scalarization weight as a traced
+        array so a whole population can train under one vmap (MORL/D vectorized
+        mode)."""
         cfg = self.cfg
+        w = self.w if w is None else w
 
         def body(carry, _):
             s, buffer = carry
@@ -232,7 +236,7 @@ class MOSAC(MOAgentBase):
             )
             s = jax.lax.cond(
                 s.global_step >= cfg.learning_starts,
-                lambda args: self._update(args[0], args[1].sample(k_upd, cfg.batch_size), k_upd),
+                lambda args: self._update(args[0], args[1].sample(k_upd, cfg.batch_size), k_upd, w),
                 lambda args: args[0],
                 (s, buffer),
             )
@@ -248,9 +252,10 @@ class MOSAC(MOAgentBase):
         return jnp.tanh(mean[0])
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def policy_eval(self, state: MOSACState, key, rep: int = 5):
-        act = lambda obs, w, k: self.act_eval(state.actor_ts.params, obs)
-        return policy_evaluation(self.env, act, self.w, key, rep=rep, gamma=self.cfg.gamma)
+    def policy_eval(self, state: MOSACState, key, rep: int = 5, w=None):
+        act = lambda obs, w_, k: self.act_eval(state.actor_ts.params, obs)
+        w = self.w if w is None else w
+        return policy_evaluation(self.env, act, w, key, rep=rep, gamma=self.cfg.gamma)
 
     def make_buffer(self) -> ReplayBuffer:
         return ReplayBuffer.create(
@@ -329,10 +334,9 @@ class MOSACDiscrete(MOAgentBase):
             iter_count=jnp.int32(0),
         )
 
-    def _update(self, s: MOSACDiscreteState, batch: Transition, key: jax.Array) -> MOSACDiscreteState:
+    def _update(self, s: MOSACDiscreteState, batch: Transition, key: jax.Array, w: jnp.ndarray) -> MOSACDiscreteState:
         """Expectation-based discrete SAC update (reference :452-510)."""
         cfg = self.cfg
-        w = self.w
         alpha = jnp.exp(s.log_alpha)
         logits_next = self.actor.apply(s.actor_ts.params, batch.next_obs)
         probs_next = jax.nn.softmax(logits_next)
@@ -386,13 +390,14 @@ class MOSACDiscrete(MOAgentBase):
         return s._replace(actor_ts=actor_ts, critic_ts=critic_ts, log_alpha=log_alpha, alpha_opt_state=alpha_opt_state)
 
     @partial(jax.jit, static_argnums=(0,))
-    def update_once(self, state: MOSACDiscreteState, batch: Transition, key: jax.Array) -> MOSACDiscreteState:
+    def update_once(self, state: MOSACDiscreteState, batch: Transition, key: jax.Array, w=None) -> MOSACDiscreteState:
         """Jitted single off-policy update (MORL/D cooperation passes)."""
-        return self._update(state, batch, key)
+        return self._update(state, batch, key, self.w if w is None else w)
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def train_segment(self, state: MOSACDiscreteState, buffer: ReplayBuffer, num_iters: int):
+    def train_segment(self, state: MOSACDiscreteState, buffer: ReplayBuffer, num_iters: int, w=None):
         cfg = self.cfg
+        w = self.w if w is None else w
 
         def body(carry, _):
             s, buffer = carry
@@ -417,7 +422,7 @@ class MOSACDiscrete(MOAgentBase):
             )
             s = jax.lax.cond(
                 s.global_step >= cfg.learning_starts,
-                lambda args: self._update(args[0], args[1].sample(k_upd, cfg.batch_size), k_upd),
+                lambda args: self._update(args[0], args[1].sample(k_upd, cfg.batch_size), k_upd, w),
                 lambda args: args[0],
                 (s, buffer),
             )
@@ -430,9 +435,10 @@ class MOSACDiscrete(MOAgentBase):
         return jnp.argmax(self.actor.apply(params, obs[None])[0])
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def policy_eval(self, state, key, rep: int = 5):
-        act = lambda obs, w, k: self.act_eval(state.actor_ts.params, obs)
-        return policy_evaluation(self.env, act, self.w, key, rep=rep, gamma=self.cfg.gamma)
+    def policy_eval(self, state, key, rep: int = 5, w=None):
+        act = lambda obs, w_, k: self.act_eval(state.actor_ts.params, obs)
+        w = self.w if w is None else w
+        return policy_evaluation(self.env, act, w, key, rep=rep, gamma=self.cfg.gamma)
 
     def make_buffer(self) -> ReplayBuffer:
         return ReplayBuffer.create(self.cfg.buffer_size, obs_dim=self.obs_dim, reward_dim=self.reward_dim)

@@ -118,6 +118,12 @@ class MOPPO(MOAgentBase):
             continuous=self.continuous,
             hidden=config.hidden,
         )
+        # one tx instance so states from repeated init_state calls share
+        # identical TrainState aux data and stack under tree.map (PGMORL
+        # vectorized population)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm), optax.adam(config.learning_rate, eps=1e-5)
+        )
 
     def change_weights(self, weights: np.ndarray) -> None:
         """PGMORL weight reassignment (reference :572-576)."""
@@ -128,10 +134,7 @@ class MOPPO(MOAgentBase):
         key = key if key is not None else jax.random.key(cfg.seed)
         kp, ke, key = jax.random.split(key, 3)
         params = self.net.init(kp, jnp.zeros((1, self.obs_dim)))
-        tx = optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.learning_rate, eps=1e-5)
-        )
-        ts = TrainState.create(apply_fn=self.net.apply, params=params, tx=tx)
+        ts = TrainState.create(apply_fn=self.net.apply, params=params, tx=self.tx)
         env_state, obs = self.venv.reset(ke)
         return MOPPOState(
             ts=ts,
@@ -286,9 +289,10 @@ class MOPPO(MOAgentBase):
         return jnp.argmax(pi[0])
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def policy_eval(self, state: MOPPOState, key, rep: int = 5):
-        act = lambda obs, w, k: self.act_eval(state.ts.params, state.obs_norm, obs)
-        return policy_evaluation(self.env, act, self.w, key, rep=rep, gamma=self.cfg.gamma)
+    def policy_eval(self, state: MOPPOState, key, rep: int = 5, w=None):
+        act = lambda obs, w_, k: self.act_eval(state.ts.params, state.obs_norm, obs)
+        w = self.w if w is None else w
+        return policy_evaluation(self.env, act, w, key, rep=rep, gamma=self.cfg.gamma)
 
     def train(self, total_timesteps: int, state: MOPPOState | None = None) -> MOPPOState:
         cfg = self.cfg

@@ -23,10 +23,12 @@ and evaluation FLOPs are inside the jitted MOPPO iterations.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from itertools import product
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.archive import ParetoArchive
@@ -189,6 +191,7 @@ class PGMORLConfig:
     delta_weight: float = 0.2
     sparsity_coef: float = -1.0
     ppo: MOPPOConfig = MOPPOConfig(num_envs=4, steps_per_iteration=2048)
+    vectorized: bool = False  # train all PPO workers under one vmap
     seed: int = 0
 
 
@@ -271,6 +274,85 @@ class PGMORL(MOAgentBase):
             self.agents[i].change_weights(np.asarray(wcand))
         return states
 
+    # ------------------------------------------------------ vectorized mode
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _train_all_vec(self, stacked, ws):
+        """All PPO workers run one full PPO iteration (rollout + epochs) under
+        one vmap — the device-parallel form of the reference's worker for-loop
+        (reference pgmorl.py:612-616)."""
+        st, _loss = jax.vmap(self.agents[0].train_iteration)(stacked, ws)
+        return st
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _policy_eval_vec(self, stacked, key, rep: int, ws):
+        ks = jax.random.split(key, ws.shape[0])
+        return jax.vmap(lambda s, k, w: self.agents[0].policy_eval(s, k, rep, w))(stacked, ks, ws)
+
+    @staticmethod
+    def _stack(states):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    @staticmethod
+    def _unstack(stacked, i):
+        return jax.tree.map(lambda x: x[i], stacked)
+
+    def _eval_all_vec(self, stacked, ws, evals_before, ref_point, known_front, add_pred=True):
+        _, discs = self._policy_eval_vec(stacked, jax.random.key(self.global_step), 3, ws)
+        discs = np.asarray(discs)
+        host_params = jax.device_get(stacked.ts.params)
+        for i in range(len(self.agents)):
+            disc = discs[i]
+            snapshot = (i, jax.tree.map(lambda x: x[i], host_params), np.asarray(ws[i]))
+            member_state = self._unstack(stacked, i)
+            self.population.add((snapshot, member_state), disc)
+            self.archive.add(snapshot, disc)
+            if add_pred:
+                self.predictor.add(np.asarray(ws[i]), evals_before[i], disc)
+            evals_before[i] = disc
+        if len(self.archive) and ref_point is not None:
+            from ..core.weights import equally_spaced_weights
+
+            ew = equally_spaced_weights(self.reward_dim, 32)
+            metrics = multi_policy_metrics(self.archive.front, np.asarray(ref_point), ew, known_front)
+            self.logger.log(metrics, self.global_step)
+            self._last_metrics = metrics
+
+    def _train_vectorized(self, total_timesteps, ref_point, known_pareto_front):
+        cfg = self.cfg
+        pop = cfg.pop_size
+        # all member states come from the prototype agent so the TrainState
+        # static fields (apply_fn/tx) are identical and the pytrees stack
+        proto = self.agents[0]
+        states = [proto.init_state(jax.random.key(cfg.seed + i)) for i in range(pop)]
+        stacked = self._stack(states)
+        ws = jnp.stack([a.w for a in self.agents])
+        evals_before = [np.zeros(self.reward_dim) for _ in self.agents]
+        self._eval_all_vec(stacked, ws, evals_before, ref_point, known_pareto_front, add_pred=False)
+
+        for _ in range(cfg.warmup_iterations):
+            if self.global_step >= total_timesteps:
+                break
+            stacked = self._train_all_vec(stacked, ws)
+            self.global_step += pop * cfg.ppo.steps_per_iteration
+            self._eval_all_vec(stacked, ws, evals_before, ref_point, known_pareto_front)
+
+        while self.global_step < total_timesteps:
+            states = [self._unstack(stacked, i) for i in range(pop)]
+            states = self._task_weight_selection(states, np.asarray(ref_point))
+            ws = jnp.stack([a.w for a in self.agents])
+            stacked = self._stack(states)
+            for _ in range(cfg.evolutionary_iterations):
+                if self.global_step >= total_timesteps:
+                    break
+                stacked = self._train_all_vec(stacked, ws)
+                self.global_step += pop * cfg.ppo.steps_per_iteration
+            self._eval_all_vec(stacked, ws, evals_before, ref_point, known_pareto_front)
+
+        self._states = [self._unstack(stacked, i) for i in range(pop)]
+        self._last_front = self.archive.front
+        return self._states
+
     def train(
         self,
         total_timesteps: int,
@@ -278,6 +360,8 @@ class PGMORL(MOAgentBase):
         known_pareto_front: Optional[np.ndarray] = None,
     ):
         cfg = self.cfg
+        if cfg.vectorized:
+            return self._train_vectorized(total_timesteps, ref_point, known_pareto_front)
         states = [a.init_state(jax.random.key(cfg.seed + i)) for i, a in enumerate(self.agents)]
         evals_before = [np.zeros(self.reward_dim) for _ in self.agents]
         self._eval_all(states, evals_before, ref_point, known_pareto_front, add_pred=False)

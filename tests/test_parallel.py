@@ -88,3 +88,24 @@ def test_vectorized_morld_population_mesh():
     assert np.isfinite(np.asarray(leaf)).all()
     # PSA actually adapted weights away from the uniform init
     assert len(agent.weights) == 4
+
+
+def test_vectorized_pgmorl_population():
+    """PGMORL vectorized mode: all PPO workers run one iteration under one vmap;
+    task/weight selection re-stacks historical population states."""
+    import numpy as np
+
+    from morl_baselines_tpu.agents.moppo import MOPPOConfig
+    from morl_baselines_tpu.agents.pgmorl import PGMORL, PGMORLConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("mo-mountaincarcontinuous-v0")
+    cfg = PGMORLConfig(
+        pop_size=3, warmup_iterations=1, evolutionary_iterations=1, vectorized=True,
+        ppo=MOPPOConfig(num_envs=4, steps_per_iteration=128, num_minibatches=2, update_epochs=2, hidden=(32, 32)),
+    )
+    agent = PGMORL(env, origin=np.array([-120.0, -120.0]), config=cfg)
+    agent.train(total_timesteps=1152, ref_point=np.array([-120.0, -120.0]))
+    assert len(agent.archive) >= 1
+    assert agent._last_metrics["eval/hypervolume"] >= 0.0
+    assert len(agent._states) == 3

@@ -4,6 +4,7 @@ from .base import Box, Discrete, MOEnv, StepOut
 from .dst import DeepSeaTreasure
 from .fishwood import Fishwood, fishwood_utility
 from .fruit_tree import FruitTree
+from .lunar_lander import MOLunarLander, MOLunarLanderContinuous
 from .minecart import Minecart
 from .mountaincar import MOMountainCar, MOMountainCarContinuous
 from .registry import ENV_REGISTRY, ENVS_WITH_KNOWN_PARETO_FRONT, make
@@ -26,6 +27,8 @@ __all__ = [
     "Fishwood",
     "FruitTree",
     "Minecart",
+    "MOLunarLander",
+    "MOLunarLanderContinuous",
     "MOEnv",
     "MOMountainCar",
     "MOMountainCarContinuous",

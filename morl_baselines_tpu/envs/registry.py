@@ -13,6 +13,7 @@ from .base import MOEnv
 from .dst import DeepSeaTreasure
 from .fishwood import Fishwood
 from .fruit_tree import FruitTree
+from .lunar_lander import MOLunarLander, MOLunarLanderContinuous
 from .minecart import Minecart
 from .mountaincar import MOMountainCar, MOMountainCarContinuous
 from .resource_gathering import ResourceGathering
@@ -34,6 +35,8 @@ ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     "resource-gathering-v0": ResourceGathering,
     "mo-mountaincar-v0": MOMountainCar,
     "mo-mountaincarcontinuous-v0": MOMountainCarContinuous,
+    "mo-lunar-lander-v3": MOLunarLander,
+    "mo-lunar-lander-continuous-v3": MOLunarLanderContinuous,
     "minecart-v0": lambda **kw: Minecart(deterministic=False, **kw),
     "minecart-deterministic-v0": lambda **kw: Minecart(deterministic=True, **kw),
     # host-stepped MuJoCo (io_callback adapter; MJX unavailable in this image)

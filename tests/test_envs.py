@@ -207,3 +207,62 @@ def test_registry():
         state, obs = env.reset(jax.random.key(0))
         out = env.step(state, env.action_space.sample(jax.random.key(1)), jax.random.key(2))
         assert out.reward.shape == (env.reward_dim,)
+
+
+def _lander_heuristic(obs):
+    """Classic lunar-lander PD heuristic (discrete actions)."""
+    x, y, vx, vy, ang, vang, l1, l2 = [obs[i] for i in range(8)]
+    ang_targ = jnp.clip(x * 0.5 + vx * 1.0, -0.4, 0.4)
+    ang_todo = (ang_targ - ang) * 0.5 - vang * 1.0
+    hover_todo = (0.55 * jnp.abs(x) - y) * 0.5 - vy * 0.5
+    contact = (l1 > 0) | (l2 > 0)
+    ang_todo = jnp.where(contact, 0.0, ang_todo)
+    hover_todo = jnp.where(contact, -vy * 0.5, hover_todo)
+    a = jnp.where(
+        (hover_todo > jnp.abs(ang_todo)) & (hover_todo > 0.05),
+        2,
+        jnp.where(ang_todo < -0.05, 3, jnp.where(ang_todo > 0.05, 1, 0)),
+    )
+    return a.astype(jnp.int32)
+
+
+def test_lunar_lander_heuristic_lands():
+    """A PD controller must land (+100 on objective 0); random must mostly crash."""
+    env = make("mo-lunar-lander-v3")
+
+    def rollout(key, use_pd):
+        k0, kr = jax.random.split(key)
+        s, obs = env.reset(kr)
+
+        def body(carry, _):
+            s, obs, key, done, total = carry
+            key, ka, ks = jax.random.split(key, 3)
+            a = jnp.where(use_pd, _lander_heuristic(obs), jax.random.randint(ka, (), 0, 4))
+            out = env.step(s, a, ks)
+            total = total + jnp.where(done, 0.0, out.reward)
+            return (out.state, out.obs, key, done | out.terminated | out.truncated, total), None
+
+        init = (s, obs, k0, jnp.bool_(False), jnp.zeros(4))
+        (_, _, _, done, total), _ = jax.lax.scan(body, init, None, length=1000)
+        return total, done
+
+    f = jax.jit(jax.vmap(rollout, in_axes=(0, None)), static_argnums=1)
+    keys = jax.random.split(jax.random.key(3), 16)
+    total_pd, done_pd = f(keys, True)
+    total_pd = np.asarray(total_pd)
+    assert np.asarray(done_pd).all()
+    assert (total_pd[:, 0] == 100.0).mean() >= 0.9  # lands nearly always
+    assert (total_pd[:, 2] < 0.0).all()  # burned main-engine fuel
+    total_rnd, _ = f(keys, False)
+    assert (np.asarray(total_rnd)[:, 0] == -100.0).mean() >= 0.7  # random crashes
+
+
+def test_lunar_lander_continuous_interface():
+    env = make("mo-lunar-lander-continuous-v3")
+    assert env.reward_dim == 4 and env.action_dim == 2
+    s, obs = env.reset(jax.random.key(0))
+    out = jax.jit(env.step)(s, jnp.array([1.0, 0.0]), jax.random.key(1))
+    assert out.obs.shape == (8,) and out.reward.shape == (4,)
+    # full main throttle costs 0.30 fuel on objective 2
+    np.testing.assert_allclose(float(out.reward[2]), -0.30, atol=1e-6)
+    assert float(out.reward[3]) == 0.0

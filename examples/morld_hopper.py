@@ -1,0 +1,28 @@
+"""MORL/D population (continuous MOSAC members) on mo-hopper.
+
+Counterpart of reference examples/morld_hopper.py; use
+MORLDConfig(vectorized=True) to train every member under one vmap.
+"""
+
+import numpy as np
+
+from morl_baselines_tpu.agents import MORLD, MORLDConfig, MOSACConfig
+from morl_baselines_tpu.envs import make
+
+if __name__ == "__main__":
+    env = make("mo-hopper-v5")
+    agent = MORLD(
+        env,
+        MORLDConfig(
+            pop_size=6,
+            exchange_every=10_000,
+            shared_buffer=True,
+            update_passes=10,
+            sac=MOSACConfig(num_envs=4, buffer_size=400_000, learning_starts=2000),
+        ),
+        log=True,
+    )
+    agent.train(
+        total_timesteps=300_000,
+        ref_point=np.array([-100.0, -100.0, -100.0]),
+    )

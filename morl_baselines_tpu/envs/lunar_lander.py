@@ -279,3 +279,40 @@ class MOLunarLanderContinuous(_LunarLanderBase):
         s_power = jnp.where(side_on, jnp.clip(jnp.abs(a[1]), 0.5, 1.0), 0.0)
         state = self._step_physics(state, m_power, s_dir, s_power, key)
         return self._finish(state, m_power, s_power)
+
+
+def _render_lander(state: LLState, width: int = 400, height: int = 267) -> "object":
+    """(H, W, 3) uint8 frame (host-side, visualization only)."""
+    import numpy as np
+
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    img[:] = (10, 10, 30)  # sky
+    sx, sy = width / W, height / H
+
+    def to_px(wx, wy):
+        return int(wx * sx), int(height - 1 - wy * sy)
+
+    gy = to_px(0.0, HELIPAD_Y)[1]
+    img[gy:, :] = (120, 110, 100)  # terrain
+    x, y = float(np.asarray(state.x)), float(np.asarray(state.y))
+    ang = float(np.asarray(state.angle))
+    c, s = np.cos(ang), np.sin(ang)
+    # lander body quad + leg tips in world coords
+    body = [(-0.55, 0.55), (0.55, 0.55), (0.55, BODY_BOTTOM), (-0.55, BODY_BOTTOM)]
+    pts = [(x + c * bx - s * by, y + s * bx + c * by) for bx, by in body]
+    xs = [to_px(px, py)[0] for px, py in pts]
+    ys = [to_px(px, py)[1] for px, py in pts]
+    x0, x1 = max(0, min(xs)), min(width - 1, max(xs))
+    y0, y1 = max(0, min(ys)), min(height - 1, max(ys))
+    if x0 <= x1 and y0 <= y1:
+        img[y0 : y1 + 1, x0 : x1 + 1] = (200, 200, 220)
+    for lsx in (-1.0, 1.0):
+        lx = x + c * lsx * LEG_TIP_X - s * LEG_TIP_Y
+        ly = y + s * lsx * LEG_TIP_X + c * LEG_TIP_Y
+        px, py = to_px(lx, ly)
+        if 0 <= px < width - 2 and 0 <= py < height - 2:
+            img[py : py + 3, px : px + 3] = (220, 120, 40)
+    return img
+
+
+_LunarLanderBase.render_frame = lambda self, state: _render_lander(state)

@@ -77,3 +77,17 @@ def test_checkpoint_roundtrip(tmp_path):
     # restored state continues training
     restored = agent.train_segment(restored, 5)
     assert int(restored.global_step) == int(state.global_step) + 20
+
+
+def test_render_and_gif(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from morl_baselines_tpu.envs import make
+    from morl_baselines_tpu.utils import make_gif, rollout_frames
+
+    env = make("deep-sea-treasure-v0")
+    frames = rollout_frames(env, lambda obs, k: jnp.int32(3), jax.random.key(0), max_steps=4)
+    assert frames[0].ndim == 3 and frames[0].shape[2] == 3
+    p = make_gif(frames, tmp_path / "dst")
+    assert p.exists() and p.suffix == ".gif"

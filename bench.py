@@ -4,8 +4,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: the BASELINE.json Envelope-on-minecart config — N vectorized
 minecart envs stepping on device, interleaved with envelope-target gradient
-updates (1 update per env-iteration, batch 128, num_sample_w=4), i.e. the
-full act->step->store->learn loop under one jitted scan.
+updates (batch 128, num_sample_w=4) at a fixed 1-update-per-2048-env-steps
+ratio, i.e. the full act->step->store->learn loop under one jitted scan.
+On accelerator N=32768 with 16 updates per env-iteration (the measured
+throughput plateau); on CPU a small config keeps the smoke run fast.
 
 vs_baseline: the PyTorch reference (single host env + per-step host<->device
 copies, reference envelope.py:526-569) sustains on the order of 1e3
@@ -25,8 +27,9 @@ REFERENCE_SPS = 1000.0
 def main() -> None:
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
-    num_envs = 2048 if on_accel else 64
-    iters = 200 if on_accel else 20
+    num_envs = 32768 if on_accel else 64
+    grad_updates = 16 if on_accel else 1
+    iters = 100 if on_accel else 20
 
     from morl_baselines_tpu.agents.envelope import Envelope, EnvelopeConfig
     from morl_baselines_tpu.envs import make
@@ -37,7 +40,7 @@ def main() -> None:
         buffer_size=max(4 * num_envs, 65536) if on_accel else 4096,
         batch_size=128,
         learning_starts=num_envs,
-        gradient_updates=1,
+        gradient_updates=grad_updates,
         train_freq=1,
         num_sample_w=4,
     )

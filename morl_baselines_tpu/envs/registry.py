@@ -42,6 +42,9 @@ ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     # host-stepped MuJoCo (io_callback adapter; MJX unavailable in this image)
     "mo-hopper-v5": _mujoco_env("hopper"),
     "mo-halfcheetah-v5": _mujoco_env("halfcheetah"),
+    # v4 aliases (reference examples use both generations interchangeably)
+    "mo-hopper-v4": _mujoco_env("hopper"),
+    "mo-halfcheetah-v4": _mujoco_env("halfcheetah"),
 }
 
 # Envs whose exact discounted Pareto front is known (reference

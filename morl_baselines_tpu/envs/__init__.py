@@ -1,7 +1,9 @@
 """Pure-JAX multi-objective environments (device-resident MO-Gymnasium parity)."""
 
 from .base import Box, Discrete, MOEnv, StepOut
+from .breakable_bottles import BreakableBottles
 from .dst import DeepSeaTreasure
+from .four_room import FourRoom
 from .fishwood import Fishwood, fishwood_utility
 from .fruit_tree import FruitTree
 from .lunar_lander import MOLunarLander, MOLunarLanderContinuous
@@ -9,6 +11,7 @@ from .minecart import Minecart
 from .mountaincar import MOMountainCar, MOMountainCarContinuous
 from .registry import ENV_REGISTRY, ENVS_WITH_KNOWN_PARETO_FRONT, make
 from .resource_gathering import ResourceGathering
+from .water_reservoir import WaterReservoir
 from .vector import (
     EpisodeStats,
     RewardNormState,
@@ -26,9 +29,12 @@ __all__ = [
     "EpisodeStats",
     "Fishwood",
     "FruitTree",
+    "BreakableBottles",
+    "FourRoom",
     "Minecart",
     "MOLunarLander",
     "MOLunarLanderContinuous",
+    "WaterReservoir",
     "MOEnv",
     "MOMountainCar",
     "MOMountainCarContinuous",

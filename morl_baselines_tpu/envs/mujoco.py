@@ -152,6 +152,83 @@ def _halfcheetah_mo_reward(obs, action, scalar_r, info):
     return np.array([vx, energy], dtype=np.float32)
 
 
+class MOReacher(MOMuJoCoEnv):
+    """MO Reacher: 4 objectives = closeness to 4 fixed targets, 9 discrete torques.
+
+    Counterpart of MO-Gymnasium's ``mo-reacher-v5`` (the 4-target reacher of
+    the Envelope paper): targets sit at radius 0.14 at angles 0/90/180/270,
+    reward_i = 1 - 4*||fingertip - target_i||, actions are the 9 torque
+    combinations {-1, 0, 1}^2, observation is
+    [cos θ1, cos θ2, sin θ1, sin θ2, qvel1, qvel2].
+    """
+
+    _TORQUES = np.array(
+        [[0, 0], [1, 0], [-1, 0], [0, 1], [0, -1], [1, 1], [1, -1], [-1, 1], [-1, -1]],
+        dtype=np.float64,
+    )
+    _TARGETS = 0.14 * np.array([[1, 0], [0, 1], [-1, 0], [0, -1]], dtype=np.float64)
+
+    def __init__(self, max_episode_steps: int = 100):
+        super().__init__("Reacher-v5", 4, lambda *a: None, "mo-reacher-v5", max_episode_steps)
+        from .base import Discrete
+
+        self._obs_dim = 6
+        self.observation_space = Box(low=tuple(np.full(6, -np.inf)), high=tuple(np.full(6, np.inf)))
+        self.action_space = Discrete(9)
+
+    def _reacher_obs(self, env) -> np.ndarray:
+        qpos = env.unwrapped.data.qpos
+        qvel = env.unwrapped.data.qvel
+        return np.array(
+            [
+                np.cos(qpos[0]),
+                np.cos(qpos[1]),
+                np.sin(qpos[0]),
+                np.sin(qpos[1]),
+                qvel[0],
+                qvel[1],
+            ],
+            dtype=np.float32,
+        )
+
+    def _host_reset(self, seed):
+        slot = self._pool.alloc()
+        env = self._pool.env(slot)
+        env.reset(seed=int(np.asarray(seed)) % (2**31 - 1))
+        return np.int32(slot), self._reacher_obs(env)
+
+    def _host_step(self, slot, action):
+        env = self._pool.env(int(slot))
+        torque = self._TORQUES[int(np.asarray(action))]
+        env.step(torque)
+        tip = env.unwrapped.get_body_com("fingertip")[:2]
+        dists = np.linalg.norm(self._TARGETS - tip[None, :], axis=1)
+        mo_r = (1.0 - 4.0 * dists).astype(np.float32)
+        return self._reacher_obs(env), mo_r, np.bool_(False), np.bool_(False)
+
+    def step(self, state, action, key: jax.Array) -> StepOut:
+        slot, t = state
+        obs, reward, term, trunc = jax.experimental.io_callback(
+            self._host_step,
+            (
+                jax.ShapeDtypeStruct((self._obs_dim,), jnp.float32),
+                jax.ShapeDtypeStruct((self.reward_dim,), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.bool_),
+                jax.ShapeDtypeStruct((), jnp.bool_),
+            ),
+            slot,
+            jnp.asarray(action, dtype=jnp.int32).reshape(()),
+            ordered=False,
+            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        )
+        t = t + 1
+        return StepOut((slot, t), obs, reward, term, trunc | (t >= self.max_episode_steps))
+
+
+def make_mo_reacher(max_episode_steps: int = 100) -> MOReacher:
+    return MOReacher(max_episode_steps)
+
+
 def make_mo_hopper(max_episode_steps: int = 1000) -> MOMuJoCoEnv:
     return MOMuJoCoEnv("Hopper-v5", 3, _hopper_mo_reward, "mo-hopper-v5", max_episode_steps)
 

@@ -10,20 +10,25 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 from .base import MOEnv
+from .breakable_bottles import BreakableBottles
 from .dst import DeepSeaTreasure
+from .four_room import FourRoom
 from .fishwood import Fishwood
 from .fruit_tree import FruitTree
 from .lunar_lander import MOLunarLander, MOLunarLanderContinuous
 from .minecart import Minecart
 from .mountaincar import MOMountainCar, MOMountainCarContinuous
 from .resource_gathering import ResourceGathering
+from .water_reservoir import WaterReservoir
 
 
 def _mujoco_env(maker):
     def build(**kw):
-        from .mujoco import make_mo_halfcheetah, make_mo_hopper
+        from .mujoco import make_mo_halfcheetah, make_mo_hopper, make_mo_reacher
 
-        return {"hopper": make_mo_hopper, "halfcheetah": make_mo_halfcheetah}[maker](**kw)
+        return {"hopper": make_mo_hopper, "halfcheetah": make_mo_halfcheetah, "reacher": make_mo_reacher}[
+            maker
+        ](**kw)
 
     return build
 
@@ -33,6 +38,9 @@ ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     "fishwood-v0": Fishwood,
     "fruit-tree-v0": FruitTree,
     "resource-gathering-v0": ResourceGathering,
+    "four-room-v0": FourRoom,
+    "breakable-bottles-v0": BreakableBottles,
+    "water-reservoir-v0": WaterReservoir,
     "mo-mountaincar-v0": MOMountainCar,
     "mo-mountaincarcontinuous-v0": MOMountainCarContinuous,
     "mo-lunar-lander-v3": MOLunarLander,
@@ -45,6 +53,8 @@ ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     # v4 aliases (reference examples use both generations interchangeably)
     "mo-hopper-v4": _mujoco_env("hopper"),
     "mo-halfcheetah-v4": _mujoco_env("halfcheetah"),
+    "mo-reacher-v4": _mujoco_env("reacher"),
+    "mo-reacher-v5": _mujoco_env("reacher"),
 }
 
 # Envs whose exact discounted Pareto front is known (reference

@@ -266,3 +266,81 @@ def test_lunar_lander_continuous_interface():
     # full main throttle costs 0.30 fuel on objective 2
     np.testing.assert_allclose(float(out.reward[2]), -0.30, atol=1e-6)
     assert float(out.reward[3]) == 0.0
+
+
+def test_four_room():
+    env = make("four-room-v0")
+    s, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (11,) and env.reward_dim == 3
+    # walking the left edge up from (12,0) never hits a wall except row 6 (doorway at col 3)
+    step = jax.jit(env.step)
+    # go up 6 times: blocked at the row-6 wall (col 0 is not a doorway)
+    for _ in range(6):
+        out = step(s, jnp.int32(0), jax.random.key(1))
+        s = out.state
+    assert int(s.row) == 7  # stuck below the wall
+    # state_index is within bounds and stable
+    idx = env.state_index(env._obs(s))
+    assert 0 <= int(idx) < env.num_states
+    # item pickup pays exactly one objective
+    env2 = make("four-room-v0")
+    s2, _ = env2.reset(jax.random.key(0))
+    s2 = s2._replace(row=jnp.int32(2), col=jnp.int32(3))
+    out = step(s2, jnp.int32(2), jax.random.key(2))  # move left onto item (2,2) shape 0
+    np.testing.assert_allclose(np.asarray(out.reward), [1.0, 0.0, 0.0])
+
+
+def test_breakable_bottles():
+    env = make("breakable-bottles-v0")
+    s, obs = env.reset(jax.random.key(0))
+    step = jax.jit(env.step)
+    # pick up two bottles at the source, walk right, deliver
+    for _ in range(2):
+        out = step(s, jnp.int32(2), jax.random.key(1))
+        s = out.state
+    assert int(s.carrying) == 2
+    total = np.zeros(3)
+    done = False
+    key = jax.random.key(3)
+    for i in range(40):
+        key, k = jax.random.split(key)
+        out = step(s, jnp.int32(1), k)
+        s = out.state
+        total += np.asarray(out.reward)
+        if bool(out.terminated):
+            done = True
+            break
+        # if a bottle dropped, fetch a replacement
+        if int(s.carrying) < 2 and int(s.loc) == 0:
+            out = step(s, jnp.int32(2), k)
+            s = out.state
+        elif int(s.carrying) == 0:
+            for _ in range(int(s.loc)):
+                key, k = jax.random.split(key)
+                out = step(s, jnp.int32(0), k)
+                s = out.state
+                total += np.asarray(out.reward)
+            key, k = jax.random.split(key)
+            out = step(s, jnp.int32(2), k)
+            s = out.state
+            out = step(s, jnp.int32(2), k)
+            s = out.state
+    assert done and total[1] == 25.0  # delivery completed
+    assert total[0] <= -4  # time penalty accrued
+
+
+def test_water_reservoir():
+    env = make("water-reservoir-v0")
+    s, obs = env.reset(jax.random.key(0))
+    step = jax.jit(env.step)
+    # releasing nothing floods eventually (objective 0 goes negative)
+    flood = np.zeros(2)
+    for i in range(20):
+        out = step(s, jnp.float32(0.0), jax.random.key(i))
+        s = out.state
+        flood += np.asarray(out.reward)
+    assert flood[0] < 0.0 and flood[1] < 0.0  # flooding + unmet demand
+    # releasing a lot satisfies demand (objective 1 ~ 0) once storage allows
+    s2, _ = env.reset(jax.random.key(5))
+    out = step(s2, jnp.float32(0.5), jax.random.key(99))
+    assert float(out.reward[1]) == 0.0

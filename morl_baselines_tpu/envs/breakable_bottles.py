@@ -48,7 +48,8 @@ class BreakableBottles(MOEnv):
     def __init__(self, max_episode_steps: int = 100):
         self.max_episode_steps = max_episode_steps
         self.observation_space = Box(
-            low=(0.0, 0.0, 0.0, 0.0), high=(float(_N_CELLS - 1), float(_MAX_CARRY), 2.0, 5.0)
+            low=(0.0, 0.0, 0.0, 0.0),
+            high=(float(_N_CELLS - 1), float(_MAX_CARRY), 2.0, float(max_episode_steps)),
         )
         self.action_space = Discrete(3)
 
@@ -77,9 +78,10 @@ class BreakableBottles(MOEnv):
         # pickup only at the source, up to the carry limit
         can_pick = (action == 2) & (state.loc == 0) & (state.carrying < _MAX_CARRY)
         carrying = state.carrying + can_pick.astype(jnp.int32)
-        # moving with two bottles risks dropping one (it breaks where it lands)
+        # moving with two bottles risks dropping one (it breaks where it lands);
+        # only actual displacement counts, not a clipped move at the boundary
         drops = (
-            (move != 0)
+            (loc != state.loc)
             & (carrying == _MAX_CARRY)
             & (jax.random.uniform(key, ()) < _DROP_PROB)
         )

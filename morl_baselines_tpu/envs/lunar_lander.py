@@ -230,15 +230,20 @@ class _LunarLanderBase(MOEnv):
             & jnp.logical_not(crashed)
         )
         terminated = crashed | landed
+        # upstream REPLACES the reward with +/-100 on the terminal step, so the
+        # shaping and fuel components are zeroed there to keep sum-parity
         reward = jnp.stack(
             [
                 jnp.where(crashed, -100.0, jnp.where(landed, 100.0, 0.0)),
                 jnp.where(terminated, 0.0, shaped),
-                -0.30 * m_power,
-                -0.03 * s_power,
+                jnp.where(terminated, 0.0, -0.30 * m_power),
+                jnp.where(terminated, 0.0, -0.03 * s_power),
             ]
         ).astype(jnp.float32)
         return StepOut(state, obs, reward, terminated, state.t >= self.max_episode_steps)
+
+    def render_frame(self, state: LLState, width: int = 400, height: int = 267):
+        return _render_lander(state, width, height)
 
 
 class MOLunarLander(_LunarLanderBase):
@@ -315,4 +320,3 @@ def _render_lander(state: LLState, width: int = 400, height: int = 267) -> "obje
     return img
 
 
-_LunarLanderBase.render_frame = lambda self, state: _render_lander(state)

@@ -68,7 +68,9 @@ class MOMuJoCoEnv(MOEnv):
     ):
         import gymnasium
 
-        probe = gymnasium.make(gym_id)
+        # max_episode_steps=None: this adapter applies its own truncation, so
+        # the inner TimeLimit must not fire first (Reacher's default is 50)
+        probe = gymnasium.make(gym_id, max_episode_steps=None)
         self._gym_id = gym_id
         self._obs_dim = int(np.prod(probe.observation_space.shape))
         self._act_dim = int(np.prod(probe.action_space.shape))
@@ -83,7 +85,7 @@ class MOMuJoCoEnv(MOEnv):
         self._act_scale = (probe.action_space.high - probe.action_space.low) / 2.0
         self._act_bias = (probe.action_space.high + probe.action_space.low) / 2.0
         probe.close()
-        self._pool = _HostPool(lambda: gymnasium.make(gym_id))
+        self._pool = _HostPool(lambda: gymnasium.make(gym_id, max_episode_steps=None))
 
     # ---- host callbacks ----------------------------------------------------
 
@@ -105,6 +107,10 @@ class MOMuJoCoEnv(MOEnv):
         )
 
     # ---- functional API ----------------------------------------------------
+
+    def _device_action(self, action) -> jnp.ndarray:
+        """Device-side action representation handed to the host callback."""
+        return jnp.asarray(action, dtype=jnp.float32).reshape(self._act_dim)
 
     def reset(self, key: jax.Array):
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
@@ -128,7 +134,7 @@ class MOMuJoCoEnv(MOEnv):
                 jax.ShapeDtypeStruct((), jnp.bool_),
             ),
             slot,
-            jnp.asarray(action, dtype=jnp.float32).reshape(self._act_dim),
+            self._device_action(action),
             ordered=False,
             sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
         )
@@ -206,23 +212,8 @@ class MOReacher(MOMuJoCoEnv):
         mo_r = (1.0 - 4.0 * dists).astype(np.float32)
         return self._reacher_obs(env), mo_r, np.bool_(False), np.bool_(False)
 
-    def step(self, state, action, key: jax.Array) -> StepOut:
-        slot, t = state
-        obs, reward, term, trunc = jax.experimental.io_callback(
-            self._host_step,
-            (
-                jax.ShapeDtypeStruct((self._obs_dim,), jnp.float32),
-                jax.ShapeDtypeStruct((self.reward_dim,), jnp.float32),
-                jax.ShapeDtypeStruct((), jnp.bool_),
-                jax.ShapeDtypeStruct((), jnp.bool_),
-            ),
-            slot,
-            jnp.asarray(action, dtype=jnp.int32).reshape(()),
-            ordered=False,
-            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-        )
-        t = t + 1
-        return StepOut((slot, t), obs, reward, term, trunc | (t >= self.max_episode_steps))
+    def _device_action(self, action) -> jnp.ndarray:
+        return jnp.asarray(action, dtype=jnp.int32).reshape(())
 
 
 def make_mo_reacher(max_episode_steps: int = 100) -> MOReacher:

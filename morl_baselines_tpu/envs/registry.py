@@ -70,4 +70,8 @@ ENVS_WITH_KNOWN_PARETO_FRONT = [
 def make(env_id: str, **kwargs) -> MOEnv:
     if env_id not in ENV_REGISTRY:
         raise KeyError(f"unknown env id {env_id!r}; known: {sorted(ENV_REGISTRY)}")
-    return ENV_REGISTRY[env_id](**kwargs)
+    env = ENV_REGISTRY[env_id](**kwargs)
+    # the requested id is the env's identity (aliases like mo-hopper-v4 must
+    # not report the v5 name in logs/checkpoints)
+    env.name = env_id
+    return env

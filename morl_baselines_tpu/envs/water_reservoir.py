@@ -36,15 +36,16 @@ class DamState(NamedTuple):
 
 
 class WaterReservoir(MOEnv):
-    """Action in [0, 1]: fraction of the maximum release (_S_MAX) per day."""
+    """Action in [-1, 1] (the convention every continuous agent here emits),
+    mapped internally to a release fraction in [0, 1] of _S_MAX per day."""
 
     reward_dim = 2
     name = "water-reservoir-v0"
 
     def __init__(self, max_episode_steps: int = 100):
         self.max_episode_steps = max_episode_steps
-        self.observation_space = Box(low=(0.0,), high=(_S_MAX,))
-        self.action_space = Box(low=(0.0,), high=(1.0,))
+        self.observation_space = Box(low=(0.0,), high=(2.0 * _S_MAX,))
+        self.action_space = Box(low=(-1.0,), high=(1.0,))
 
     def _obs(self, s: DamState) -> jnp.ndarray:
         return jnp.stack([s.storage]).astype(jnp.float32)
@@ -55,7 +56,8 @@ class WaterReservoir(MOEnv):
         return s, self._obs(s)
 
     def step(self, state: DamState, action: jnp.ndarray, key: jax.Array) -> StepOut:
-        release_frac = jnp.clip(jnp.asarray(action, dtype=jnp.float32).reshape(()), 0.0, 1.0)
+        a = jnp.clip(jnp.asarray(action, dtype=jnp.float32).reshape(()), -1.0, 1.0)
+        release_frac = (a + 1.0) / 2.0
         inflow = jnp.maximum(
             _INFLOW_MEAN + _INFLOW_STD * jax.random.normal(key, ()), 0.0
         )

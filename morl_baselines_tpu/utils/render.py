@@ -20,6 +20,8 @@ def make_gif(frames: List[np.ndarray], path: str | Path, fps: int = 15) -> Path:
     """Write a list of (H, W, 3) uint8 frames as an animated GIF."""
     from PIL import Image
 
+    if not frames:
+        raise ValueError("make_gif needs at least one frame")
     path = Path(path)
     if path.suffix != ".gif":
         path = path.with_suffix(".gif")

@@ -333,14 +333,14 @@ def test_water_reservoir():
     env = make("water-reservoir-v0")
     s, obs = env.reset(jax.random.key(0))
     step = jax.jit(env.step)
-    # releasing nothing floods eventually (objective 0 goes negative)
+    # action -1 -> zero release: floods eventually, demand never met
     flood = np.zeros(2)
     for i in range(20):
-        out = step(s, jnp.float32(0.0), jax.random.key(i))
+        out = step(s, jnp.float32(-1.0), jax.random.key(i))
         s = out.state
         flood += np.asarray(out.reward)
     assert flood[0] < 0.0 and flood[1] < 0.0  # flooding + unmet demand
-    # releasing a lot satisfies demand (objective 1 ~ 0) once storage allows
+    # a large release (action 0.5 -> 75% of max) satisfies demand
     s2, _ = env.reset(jax.random.key(5))
     out = step(s2, jnp.float32(0.5), jax.random.key(99))
     assert float(out.reward[1]) == 0.0

@@ -178,11 +178,20 @@ class Envelope(MOAgentBase):
     # ---------------------------------------------------------- train segment
 
     def _epsilon(self, global_step):
+        # schedules run on the PER-ENV step clock so reference configs (1 env,
+        # reference envelope.py:50k decay) keep their meaning at any num_envs:
+        # with N parallel envs a global-step clock would collapse epsilon to
+        # its final value after ~1 episode per env and exploration never
+        # completes long-horizon tasks (observed on minecart)
         cfg = self.cfg
         if cfg.epsilon_decay_steps is None:
             return cfg.initial_epsilon
         return linearly_decaying_value(
-            cfg.initial_epsilon, cfg.epsilon_decay_steps, global_step, cfg.learning_starts, cfg.final_epsilon
+            cfg.initial_epsilon,
+            cfg.epsilon_decay_steps,
+            global_step // cfg.num_envs,
+            cfg.learning_starts // cfg.num_envs,
+            cfg.final_epsilon,
         )
 
     def _homotopy_lambda(self, global_step):
@@ -192,8 +201,8 @@ class Envelope(MOAgentBase):
         return linearly_decaying_value(
             cfg.initial_homotopy_lambda,
             cfg.homotopy_decay_steps,
-            global_step,
-            cfg.learning_starts,
+            global_step // cfg.num_envs,
+            cfg.learning_starts // cfg.num_envs,
             cfg.final_homotopy_lambda,
         )
 

@@ -248,11 +248,17 @@ class GPILS(MOAgentBase):
     # ---------------------------------------------------------- train segment
 
     def _epsilon(self, global_step):
+        # per-env step clock: keeps reference decay budgets meaningful at any
+        # num_envs (see envelope._epsilon for the failure mode this avoids)
         cfg = self.cfg
         if cfg.epsilon_decay_steps is None:
             return cfg.initial_epsilon
         return linearly_decaying_value(
-            cfg.initial_epsilon, cfg.epsilon_decay_steps, global_step, cfg.learning_starts, cfg.final_epsilon
+            cfg.initial_epsilon,
+            cfg.epsilon_decay_steps,
+            global_step // cfg.num_envs,
+            cfg.learning_starts // cfg.num_envs,
+            cfg.final_epsilon,
         )
 
     @partial(jax.jit, static_argnums=(0, 2, 3))

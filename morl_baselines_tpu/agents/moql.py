@@ -113,11 +113,16 @@ class MOQLearning(MOAgentBase):
         )
 
     def _epsilon(self, global_step):
+        # per-env step clock (see envelope._epsilon)
         cfg = self.cfg
         if cfg.epsilon_decay_steps is None:
             return cfg.initial_epsilon
         return linearly_decaying_value(
-            cfg.initial_epsilon, cfg.epsilon_decay_steps, global_step, cfg.learning_starts, cfg.final_epsilon
+            cfg.initial_epsilon,
+            cfg.epsilon_decay_steps,
+            global_step // cfg.num_envs,
+            cfg.learning_starts // cfg.num_envs,
+            cfg.final_epsilon,
         )
 
     def _td_update(self, q_table, utopian, s_idx, actions, rewards, ns_idx, term):

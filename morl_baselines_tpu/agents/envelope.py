@@ -65,6 +65,7 @@ class EnvelopeConfig:
     per_alpha: float = 0.6
     min_priority: float = 0.01
     hidden: tuple = (256, 256, 256, 256)
+    bf16: bool = False  # bfloat16 compute in the Q-net GEMMs (params stay f32)
     seed: int = 0
 
 
@@ -86,7 +87,10 @@ class Envelope(MOAgentBase):
         self.cfg = config
         self.venv = VectorMOEnv(env, config.num_envs)
         self.q_net = EnvelopeQNet(
-            num_actions=env.num_actions, reward_dim=env.reward_dim, hidden=config.hidden
+            num_actions=env.num_actions,
+            reward_dim=env.reward_dim,
+            hidden=config.hidden,
+            dtype=jnp.bfloat16 if config.bf16 else None,
         )
 
     # ------------------------------------------------------------------ init

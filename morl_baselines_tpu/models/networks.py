@@ -67,22 +67,25 @@ class MLP(nn.Module):
     dropout_rate: float = 0.0
     use_layernorm: bool = False
     final_activation: bool = False
+    # compute dtype for the GEMMs (params stay float32); bfloat16 doubles MXU
+    # throughput on the big batched act-path forwards
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         act = _ACTS[self.activation]
         for h in self.hidden:
-            x = nn.Dense(h)(x)
+            x = nn.Dense(h, dtype=self.dtype)(x)
             if self.dropout_rate > 0:
                 x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
             if self.use_layernorm:
                 x = nn.LayerNorm()(x)
             x = act(x)
         if self.output_dim is not None:
-            x = nn.Dense(self.output_dim)(x)
+            x = nn.Dense(self.output_dim, dtype=self.dtype)(x)
             if self.final_activation:
                 x = act(x)
-        return x
+        return x.astype(jnp.float32) if self.dtype is not None else x
 
 
 class NatureCNN(nn.Module):
@@ -136,11 +139,12 @@ class EnvelopeQNet(nn.Module):
     num_actions: int
     reward_dim: int
     hidden: Sequence[int] = (256, 256, 256, 256)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, obs, w):
         x = jnp.concatenate([obs, w], axis=-1)
-        x = MLP(hidden=self.hidden, output_dim=self.num_actions * self.reward_dim)(x)
+        x = MLP(hidden=self.hidden, output_dim=self.num_actions * self.reward_dim, dtype=self.dtype)(x)
         return x.reshape((*x.shape[:-1], self.num_actions, self.reward_dim))
 
 

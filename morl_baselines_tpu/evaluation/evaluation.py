@@ -145,6 +145,72 @@ def multi_policy_metrics(
     return metrics
 
 
+def seed_everything(seed: int) -> jax.Array:
+    """Seed every host-side RNG and return the root JAX key.
+
+    Reference common/evaluation.py:203-219 seeds python/numpy/torch global
+    state.  JAX has no global RNG — device-side randomness flows through the
+    returned key — but the host-side outer loops (LinearSupport tie-breaks,
+    PGMORL's scipy fits, numpy-based weight init) still read the numpy/python
+    global state, so those are seeded here.
+    """
+    import os
+    import random
+
+    random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+def log_episode_info(
+    finished,
+    scalarization: Callable,
+    weights: np.ndarray | None,
+    global_step: int,
+    id: int | None = None,
+    verbose: bool = False,
+    logger=None,
+) -> dict:
+    """Log completed-episode statistics (reference common/evaluation.py:221-277).
+
+    ``finished`` is the batched ``EpisodeStats`` row-set emitted by
+    ``EpisodeStats.update`` (rows with length 0 are not completed episodes and
+    are ignored); statistics are averaged over the episodes that finished this
+    step — the vectorized analog of the reference's one-env info dict.  Metric
+    keys match the reference so curves are comparable.  Returns the metric
+    dict; also sends it to ``logger`` (a MetricLogger) when given.
+    """
+    mask = np.asarray(finished.length) > 0
+    if not mask.any():
+        return {}
+    ret = np.asarray(finished.ret)[mask].mean(axis=0)
+    disc = np.asarray(finished.disc_ret)[mask].mean(axis=0)
+    length = float(np.asarray(finished.length)[mask].mean())
+    if weights is None:
+        scal, disc_scal = scalarization(ret), scalarization(disc)
+    else:
+        scal, disc_scal = scalarization(ret, weights), scalarization(disc, weights)
+    idstr = f"_{id}" if id is not None else ""
+    metrics = {
+        f"charts{idstr}/timesteps_per_episode": length,
+        f"metrics{idstr}/scalarized_episode_return": float(scal),
+        f"metrics{idstr}/discounted_scalarized_episode_return": float(disc_scal),
+    }
+    for i in range(ret.shape[0]):
+        metrics[f"metrics{idstr}/episode_return_obj_{i}"] = float(ret[i])
+        metrics[f"metrics{idstr}/disc_episode_return_obj_{i}"] = float(disc[i])
+    if verbose:
+        print(
+            f"Episode infos (mean over {int(mask.sum())} finished): steps={length:.1f}, "
+            f"return={ret}, discounted={disc}, scalarized={float(scal):.4g} "
+            f"(disc {float(disc_scal):.4g})"
+        )
+    if logger is not None:
+        logger.log(metrics, global_step)
+    return metrics
+
+
 def device_front_metrics(
     front: jnp.ndarray,
     valid: jnp.ndarray,

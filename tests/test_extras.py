@@ -91,3 +91,28 @@ def test_render_and_gif(tmp_path):
     assert frames[0].ndim == 3 and frames[0].shape[2] == 3
     p = make_gif(frames, tmp_path / "dst")
     assert p.exists() and p.suffix == ".gif"
+
+
+def test_seed_everything_and_log_episode_info():
+    from morl_baselines_tpu.core.scalarization import weighted_sum
+    from morl_baselines_tpu.envs.vector import EpisodeStats
+    from morl_baselines_tpu.evaluation import log_episode_info, seed_everything
+
+    key = seed_everything(7)
+    assert key.dtype == jax.random.key(0).dtype
+    x1 = np.random.rand()
+    seed_everything(7)
+    assert np.random.rand() == x1
+
+    stats = EpisodeStats.create(num_envs=3, reward_dim=2)
+    r = jnp.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    done = jnp.asarray([True, False, True])
+    _, finished = stats.update(r, done, gamma=0.5)
+    w = np.asarray([0.5, 0.5])
+    metrics = log_episode_info(finished, weighted_sum, w, global_step=10)
+    # mean over the two finished rows: ret = [3, 4] -> scalarized 3.5
+    assert metrics["metrics/scalarized_episode_return"] == pytest.approx(3.5)
+    assert metrics["charts/timesteps_per_episode"] == pytest.approx(1.0)
+    assert metrics["metrics/episode_return_obj_1"] == pytest.approx(4.0)
+    # no finished rows -> empty dict
+    assert log_episode_info(stats.update(r, jnp.zeros(3, bool), 0.5)[1], weighted_sum, w, 0) == {}

@@ -177,3 +177,82 @@ class ModelEnv:
         else:
             term = jnp.zeros((obs.shape[0],), dtype=bool)
         return next_obs, reward, term, unc
+
+
+def visualize_eval(
+    act_fn,
+    env,
+    model: "ProbabilisticEnsemble | None" = None,
+    model_state: "EnsembleState | None" = None,
+    w=None,
+    horizon: int = 10,
+    key=None,
+    compound: bool = True,
+    save_path: str | None = None,
+):
+    """Diagnostic plot of model predictions vs a real-env rollout.
+
+    Reference common/model_based/utils.py:190-337 drives the real env with
+    the agent for ``horizon`` steps and overlays the learned model's
+    (compounded or one-step) predictions per obs/reward dimension.  Returns
+    the matplotlib figure (also saved to ``save_path`` when given).
+    ``act_fn(obs, w, key) -> action`` is the standard eval contract.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    key = key if key is not None else jax.random.key(0)
+    k_reset, key = jax.random.split(key)
+    state, obs = env.reset(k_reset)
+    real_obs, real_rew, acts = [np.asarray(obs)], [], []
+    for _ in range(horizon):
+        key, ka, ks = jax.random.split(key, 3)
+        a = act_fn(obs, w, ka)
+        out = env.step(state, a, ks)
+        acts.append(np.asarray(a, dtype=np.float32).reshape(-1))
+        real_obs.append(np.asarray(out.obs))
+        real_rew.append(np.asarray(out.reward))
+        state, obs = out.state, out.obs
+    real_obs, real_rew = np.stack(real_obs), np.stack(real_rew)
+
+    pred_obs = pred_rew = None
+    if model is not None and model_state is not None:
+        menv = ModelEnv(model)
+        cur = jnp.asarray(real_obs[0])[None]
+        po, pr = [np.asarray(cur[0])], []
+        for t in range(horizon):
+            key, km = jax.random.split(key)
+            src = cur if compound else jnp.asarray(real_obs[t])[None]
+            nxt, rew, _, _ = menv.step(model_state, src, jnp.asarray(acts[t])[None], km)
+            po.append(np.asarray(nxt[0]))
+            pr.append(np.asarray(rew[0]))
+            cur = nxt
+        pred_obs, pred_rew = np.stack(po), np.stack(pr)
+
+    obs_dim, rew_dim = real_obs.shape[-1], real_rew.shape[-1]
+    n = obs_dim + rew_dim
+    ncols = min(4, n)
+    nrows = -(-n // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3 * ncols, 2.2 * nrows), squeeze=False)
+    flat = axes.ravel()
+    for i in range(obs_dim):
+        flat[i].plot(real_obs[:, i], label="real")
+        if pred_obs is not None:
+            flat[i].plot(pred_obs[:, i], "--", label="model")
+        flat[i].set_title(f"obs[{i}]", fontsize=8)
+    for j in range(rew_dim):
+        ax = flat[obs_dim + j]
+        ax.plot(real_rew[:, j], label="real")
+        if pred_rew is not None:
+            ax.plot(pred_rew[:, j], "--", label="model")
+        ax.set_title(f"reward[{j}]", fontsize=8)
+    for ax in flat[n:]:
+        ax.axis("off")
+    flat[0].legend(fontsize=7)
+    fig.tight_layout()
+    if save_path is not None:
+        fig.savefig(save_path, dpi=80)
+    return fig

@@ -68,3 +68,16 @@ class MetricLogger:
             self._jsonl.close()
         if self._wandb is not None:
             self._wandb.finish()
+
+
+def reset_wandb_env() -> None:
+    """Clear per-run WANDB_* env vars so a child sweep worker starts fresh.
+
+    Reference common/utils.py:110-123; keeps project/entity/API-key vars so
+    the worker still knows where to log.
+    """
+    import os
+
+    keep = {"WANDB_PROJECT", "WANDB_ENTITY", "WANDB_API_KEY"}
+    for k in [k for k in os.environ if k.startswith("WANDB_") and k not in keep]:
+        del os.environ[k]

@@ -116,3 +116,40 @@ def test_seed_everything_and_log_episode_info():
     assert metrics["metrics/episode_return_obj_1"] == pytest.approx(4.0)
     # no finished rows -> empty dict
     assert log_episode_info(stats.update(r, jnp.zeros(3, bool), 0.5)[1], weighted_sum, w, 0) == {}
+
+
+def test_visualize_eval_and_reset_wandb_env(tmp_path):
+    import os
+
+    from morl_baselines_tpu.envs import make
+    from morl_baselines_tpu.models.dynamics import (
+        EnsembleConfig,
+        ProbabilisticEnsemble,
+        visualize_eval,
+    )
+    from morl_baselines_tpu.utils.logging import reset_wandb_env
+
+    env = make("deep-sea-treasure-v0")
+    model = ProbabilisticEnsemble(
+        input_dim=env.obs_dim + 1,
+        output_dim=env.obs_dim + env.reward_dim,
+        cfg=EnsembleConfig(num_members=3, num_elites=2, hidden=(16, 16)),
+    )
+    mstate = model.init_state(jax.random.key(0))
+    act = lambda obs, w, k: jax.random.randint(k, (), 0, env.num_actions)
+    fig = visualize_eval(
+        act, env, model, mstate, horizon=5,
+        key=jax.random.key(1), save_path=str(tmp_path / "viz.png"),
+    )
+    assert (tmp_path / "viz.png").exists()
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    # one-step (non-compound) mode also runs
+    plt.close(visualize_eval(act, env, model, mstate, horizon=3, compound=False))
+
+    os.environ["WANDB_RUN_ID"] = "x"
+    os.environ["WANDB_PROJECT"] = "keepme"
+    reset_wandb_env()
+    assert "WANDB_RUN_ID" not in os.environ
+    assert os.environ.pop("WANDB_PROJECT") == "keepme"

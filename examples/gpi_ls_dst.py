@@ -19,4 +19,4 @@ if __name__ == "__main__":
         timesteps_per_iter=10_000,
         weight_selection_algo="gpi-ls",
     )
-    print("CCS:", agent._linear_support.ccs)
+    print("CCS:", agent.ccs)

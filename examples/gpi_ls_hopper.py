@@ -22,4 +22,4 @@ if __name__ == "__main__":
         timesteps_per_iter=20_000,
         weight_selection_algo="gpi-ls",
     )
-    print("CCS:", agent._linear_support.ccs)
+    print("CCS:", agent.ccs)

@@ -24,5 +24,5 @@ if __name__ == "__main__":
         log=True,
     )
     agent.train(total_timesteps=400_000, eval_freq=40_000)
-    ret, disc = agent._last_eval
+    ret, disc = agent.last_eval
     print("vec return:", ret, "discounted:", disc)

@@ -32,4 +32,4 @@ if __name__ == "__main__":
         ref_point=np.array([0.0, -50.0]),
         known_pareto_front=env.pareto_front(0.9),
     )
-    print("CCS:", agent._linear_support.ccs)
+    print("CCS:", agent.ccs)

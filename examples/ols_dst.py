@@ -23,4 +23,4 @@ if __name__ == "__main__":
         timesteps_per_iter=15_000,
         weight_selection_algo="ols",
     )
-    print("CCS:", agent._linear_support.ccs)
+    print("CCS:", agent.ccs)

@@ -35,6 +35,19 @@ class MOAgentBase:
             enabled=log,
         )
 
+    # -- public result accessors (the examples/docs user-facing surface) ----
+
+    @property
+    def ccs(self) -> list:
+        """Convex coverage set value vectors found so far (outer-loop agents)."""
+        ls = getattr(self, "_linear_support", None)
+        return list(ls.ccs) if ls is not None else []
+
+    @property
+    def last_eval(self):
+        """(return, discounted_return) of the most recent evaluation, if any."""
+        return getattr(self, "_last_eval", None)
+
     def get_config(self) -> dict:
         """Flat config dict (reference morl_algorithm.py:275-281)."""
         cfg = dataclasses.asdict(self.config) if dataclasses.is_dataclass(self.config) else dict(self.config)

@@ -211,10 +211,11 @@ class GPILSContinuous(MOAgentBase):
 
             def do_update(s2):
                 def one(s3, k):
-                    kb, kw2, ku = jax.random.split(k, 3)
+                    kb, kw1, kw2, ku = jax.random.split(k, 4)
                     batch = s3.buffer.sample(kb, cfg.batch_size)
                     half = cfg.batch_size // 2
-                    w1 = jnp.tile(s3.task_w[0][None], (half, 1))
+                    # per-row current task weights across envs (see gpils.py)
+                    w1 = s3.task_w[jax.random.randint(kw1, (half,), 0, cfg.num_envs)]
                     sidx = jax.random.randint(kw2, (cfg.batch_size - half,), 0, s3.support_size)
                     w = jnp.concatenate([w1, s3.support[sidx]], axis=0)
                     return self._update(s3, batch, w, ku), None

@@ -194,7 +194,10 @@ class GPIPD(GPILS):
                         batch = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), real, im)
                     else:
                         batch = real
-                    w1 = jnp.tile(task_w[0][None], (half, 1))
+                    # per-row current task weights: with per-episode weight
+                    # resampling the env weights diverge, so sample across envs
+                    kw1, kw2 = jax.random.split(kw2)
+                    w1 = task_w[jax.random.randint(kw1, (half,), 0, cfg.num_envs)]
                     sidx = jax.random.randint(kw2, (cfg.batch_size - half,), 0, s.support_size)
                     w = jnp.concatenate([w1, s.support[sidx]], axis=0)
                     ts, loss, td_w = self._update(ts, batch, w, ku)

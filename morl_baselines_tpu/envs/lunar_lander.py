@@ -130,7 +130,8 @@ class _LunarLanderBase(MOEnv):
         fkey = jax.random.uniform(key, (2,), minval=-INITIAL_RANDOM, maxval=INITIAL_RANDOM)
         s = LLState(
             x=jnp.float32(W / 2.0),
-            y=jnp.float32(H - 1.0),
+            # upstream spawns at initial_y = VIEWPORT_H/SCALE (= H)
+            y=jnp.float32(H),
             vx=fkey[0] * DT / MASS,
             vy=fkey[1] * DT / MASS,
             angle=jnp.float32(0.0),

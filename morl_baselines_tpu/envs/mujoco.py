@@ -23,6 +23,7 @@ device-resident envs remain the performance path.
 from __future__ import annotations
 
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 
 import jax
@@ -68,9 +69,11 @@ class MOMuJoCoEnv(MOEnv):
     ):
         import gymnasium
 
-        # max_episode_steps=None: this adapter applies its own truncation, so
-        # the inner TimeLimit must not fire first (Reacher's default is 50)
-        probe = gymnasium.make(gym_id, max_episode_steps=None)
+        # max_episode_steps=-1 disables the inner TimeLimit entirely (in
+        # gymnasium 1.2.2 `None` means "use the spec default", which would let
+        # e.g. Reacher's 50-step limit fire before this adapter's own
+        # truncation); this adapter applies its own truncation below.
+        probe = gymnasium.make(gym_id, max_episode_steps=-1)
         self._gym_id = gym_id
         self._obs_dim = int(np.prod(probe.observation_space.shape))
         self._act_dim = int(np.prod(probe.action_space.shape))
@@ -85,14 +88,18 @@ class MOMuJoCoEnv(MOEnv):
         self._act_scale = (probe.action_space.high - probe.action_space.low) / 2.0
         self._act_bias = (probe.action_space.high + probe.action_space.low) / 2.0
         probe.close()
-        self._pool = _HostPool(lambda: gymnasium.make(gym_id, max_episode_steps=None))
+        self._pool = _HostPool(lambda: gymnasium.make(gym_id, max_episode_steps=-1))
 
     # ---- host callbacks ----------------------------------------------------
 
+    def _host_reset_slot(self, slot, seed) -> np.ndarray:
+        """Reset an already-allocated pool slot; returns the reset obs."""
+        obs, _info = self._pool.env(int(slot)).reset(seed=int(np.asarray(seed)) % (2**31 - 1))
+        return np.asarray(obs, dtype=np.float32)
+
     def _host_reset(self, seed):
         slot = self._pool.alloc()
-        obs, _info = self._pool.env(slot).reset(seed=int(np.asarray(seed)) % (2**31 - 1))
-        return np.int32(slot), np.asarray(obs, dtype=np.float32)
+        return np.int32(slot), self._host_reset_slot(slot, seed)
 
     def _host_step(self, slot, action):
         env = self._pool.env(int(slot))
@@ -106,11 +113,111 @@ class MOMuJoCoEnv(MOEnv):
             np.bool_(trunc),
         )
 
+    # ---- batched host callbacks (one io_callback per *vector* step) --------
+    #
+    # VectorMOEnv dispatches to vector_reset/vector_step when present, so the
+    # whole env batch crosses the host boundary once per step instead of once
+    # per batch element (reference's hot env loop is a python for-loop per
+    # env, gpi_pd_continuous_action.py:560-600; this is its batched analog).
+    # Autoreset happens on host in the same callback (same-step semantics).
+
+    @property
+    def _executor(self) -> ThreadPoolExecutor:
+        ex = getattr(self, "_executor_cached", None)
+        if ex is None:
+            import os
+
+            ex = ThreadPoolExecutor(max_workers=max(2, (os.cpu_count() or 2)))
+            self._executor_cached = ex
+        return ex
+
+    def _host_vector_reset(self, seeds):
+        seeds = np.asarray(seeds)
+        n = len(seeds)
+        out = list(self._executor.map(lambda i: self._host_reset(seeds[i]), range(n)))
+        slots = np.asarray([r[0] for r in out], dtype=np.int32)
+        obs = np.stack([r[1] for r in out]).astype(np.float32)
+        return slots, obs
+
+    def _host_vector_step(self, slots, t, actions, seeds):
+        slots = np.asarray(slots)
+        t = np.asarray(t)
+        actions = np.asarray(actions)
+        seeds = np.asarray(seeds)
+        n = len(slots)
+        obs = np.empty((n, self._obs_dim), dtype=np.float32)
+        final_obs = np.empty((n, self._obs_dim), dtype=np.float32)
+        reward = np.empty((n, self.reward_dim), dtype=np.float32)
+        term = np.empty((n,), dtype=np.bool_)
+        trunc = np.empty((n,), dtype=np.bool_)
+        new_t = np.empty((n,), dtype=np.int32)
+
+        def one(i):
+            o, r, te, tr = self._host_step(slots[i], actions[i])
+            tr = bool(tr) or (int(t[i]) + 1 >= self.max_episode_steps)
+            final_obs[i] = o
+            reward[i] = r
+            term[i] = te
+            trunc[i] = tr
+            if te or tr:
+                obs[i] = self._host_reset_slot(slots[i], seeds[i])
+                new_t[i] = 0
+            else:
+                obs[i] = o
+                new_t[i] = int(t[i]) + 1
+
+        list(self._executor.map(one, range(n)))
+        return slots, new_t, obs, reward, term, trunc, final_obs
+
+    def vector_reset(self, key: jax.Array, num_envs: int):
+        seeds = jax.random.randint(key, (num_envs,), 0, 2**31 - 1)
+        slots, obs = jax.experimental.io_callback(
+            self._host_vector_reset,
+            (
+                jax.ShapeDtypeStruct((num_envs,), jnp.int32),
+                jax.ShapeDtypeStruct((num_envs, self._obs_dim), jnp.float32),
+            ),
+            seeds,
+            ordered=False,
+            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        )
+        return (slots, jnp.zeros((num_envs,), jnp.int32)), obs
+
+    def vector_step(self, state, actions, key: jax.Array):
+        from .vector import VecStepOut
+
+        slots, t = state
+        n = slots.shape[0]
+        seeds = jax.random.randint(key, (n,), 0, 2**31 - 1)
+        acts = self._device_vector_actions(actions, n)
+        slots, new_t, obs, reward, term, trunc, final_obs = jax.experimental.io_callback(
+            self._host_vector_step,
+            (
+                jax.ShapeDtypeStruct((n,), jnp.int32),
+                jax.ShapeDtypeStruct((n,), jnp.int32),
+                jax.ShapeDtypeStruct((n, self._obs_dim), jnp.float32),
+                jax.ShapeDtypeStruct((n, self.reward_dim), jnp.float32),
+                jax.ShapeDtypeStruct((n,), jnp.bool_),
+                jax.ShapeDtypeStruct((n,), jnp.bool_),
+                jax.ShapeDtypeStruct((n, self._obs_dim), jnp.float32),
+            ),
+            slots,
+            t,
+            acts,
+            seeds,
+            ordered=False,
+            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        )
+        return VecStepOut((slots, new_t), obs, reward, term, trunc, final_obs)
+
     # ---- functional API ----------------------------------------------------
 
     def _device_action(self, action) -> jnp.ndarray:
         """Device-side action representation handed to the host callback."""
         return jnp.asarray(action, dtype=jnp.float32).reshape(self._act_dim)
+
+    def _device_vector_actions(self, actions, n) -> jnp.ndarray:
+        return jnp.asarray(actions, dtype=jnp.float32).reshape(n, self._act_dim)
 
     def reset(self, key: jax.Array):
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
@@ -197,11 +304,14 @@ class MOReacher(MOMuJoCoEnv):
             dtype=np.float32,
         )
 
+    def _host_reset_slot(self, slot, seed) -> np.ndarray:
+        env = self._pool.env(int(slot))
+        env.reset(seed=int(np.asarray(seed)) % (2**31 - 1))
+        return self._reacher_obs(env)
+
     def _host_reset(self, seed):
         slot = self._pool.alloc()
-        env = self._pool.env(slot)
-        env.reset(seed=int(np.asarray(seed)) % (2**31 - 1))
-        return np.int32(slot), self._reacher_obs(env)
+        return np.int32(slot), self._host_reset_slot(slot, seed)
 
     def _host_step(self, slot, action):
         env = self._pool.env(int(slot))
@@ -214,6 +324,9 @@ class MOReacher(MOMuJoCoEnv):
 
     def _device_action(self, action) -> jnp.ndarray:
         return jnp.asarray(action, dtype=jnp.int32).reshape(())
+
+    def _device_vector_actions(self, actions, n) -> jnp.ndarray:
+        return jnp.asarray(actions, dtype=jnp.int32).reshape(n)
 
 
 def make_mo_reacher(max_episode_steps: int = 100) -> MOReacher:

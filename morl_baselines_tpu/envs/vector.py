@@ -40,11 +40,17 @@ class VectorMOEnv:
         self.reward_dim = env.reward_dim
 
     def reset(self, key: jax.Array):
+        if hasattr(self.env, "vector_reset"):
+            # Host-pool envs (MuJoCo adapter): one io_callback for the whole
+            # batch instead of num_envs per-element callbacks under vmap.
+            return self.env.vector_reset(key, self.num_envs)
         keys = jax.random.split(key, self.num_envs)
         state, obs = jax.vmap(self.env.reset)(keys)
         return state, obs
 
     def step(self, state, actions, key: jax.Array) -> VecStepOut:
+        if hasattr(self.env, "vector_step"):
+            return self.env.vector_step(state, actions, key)
         n = self.num_envs
         step_keys = jax.random.split(key, 2 * n)
         out = jax.vmap(self.env.step)(state, actions, step_keys[:n])

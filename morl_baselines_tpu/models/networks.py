@@ -79,7 +79,9 @@ class MLP(nn.Module):
             if self.dropout_rate > 0:
                 x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
             if self.use_layernorm:
-                x = nn.LayerNorm()(x)
+                # norm statistics stay f32 even when the GEMMs run in bf16
+                # (flax would otherwise infer bf16 from the input)
+                x = nn.LayerNorm(dtype=jnp.float32)(x)
             x = act(x)
         if self.output_dim is not None:
             x = nn.Dense(self.output_dim, dtype=self.dtype)(x)

@@ -344,3 +344,49 @@ def test_water_reservoir():
     s2, _ = env.reset(jax.random.key(5))
     out = step(s2, jnp.float32(0.5), jax.random.key(99))
     assert float(out.reward[1]) == 0.0
+
+
+def test_mo_reacher_episode_length():
+    """The inner gymnasium TimeLimit must be disabled (max_episode_steps=-1):
+    mo-reacher's configured 100-step limit must be the one that fires, not
+    Reacher-v5's 50-step spec default."""
+    env = make("mo-reacher-v5")
+    assert env.observation_space.shape == (6,)
+    assert env.reward_dim == 4
+    s, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (6,)
+    steps = 0
+    for i in range(150):
+        out = env.step(s, jnp.int32(0), jax.random.key(i))
+        s = out.state
+        steps += 1
+        assert out.reward.shape == (4,)
+        if bool(out.terminated) or bool(out.truncated):
+            break
+    assert steps == 100
+
+
+def test_mujoco_batched_vector_step():
+    """Host-pool envs step the whole batch through ONE io_callback per vector
+    step (with same-step autoreset on host), matching VectorMOEnv semantics."""
+    from morl_baselines_tpu.envs.vector import VectorMOEnv
+
+    env = make("mo-hopper-v5")
+    venv = VectorMOEnv(env, 4)
+    state, obs = venv.reset(jax.random.key(0))
+    assert obs.shape == (4, env.obs_dim)
+    for i in range(5):
+        acts = jnp.zeros((4, env.action_dim))
+        out = venv.step(state, acts, jax.random.key(i))
+        state = out.state
+        assert out.obs.shape == (4, env.obs_dim)
+        assert out.reward.shape == (4, env.reward_dim)
+        assert out.final_obs.shape == (4, env.obs_dim)
+    # the batched path must also work inside jit/scan (io_callback is traceable)
+    def body(carry, key):
+        st = carry
+        out = venv.step(st, jnp.zeros((4, env.action_dim)), key)
+        return out.state, out.reward
+
+    _, rews = jax.lax.scan(body, state, jax.random.split(jax.random.key(7), 3))
+    assert rews.shape == (3, 4, env.reward_dim)

@@ -31,7 +31,7 @@ from ..core.weights import equally_spaced_weights
 from ..envs.base import Box, MOEnv
 from ..envs.vector import EpisodeStats, VectorMOEnv
 from ..evaluation.evaluation import multi_policy_metrics, policy_evaluation
-from ..models.continuous import ContinuousQNet, DeterministicActor
+from ..models.continuous import ContinuousQNet, DeterministicActor, StabilizedActor, StabilizedQNet
 from ..models.networks import TrainState, ensemble
 from ..outer.linear_support import LinearSupport
 from ..replay.buffer import ReplayBuffer, Transition
@@ -57,6 +57,12 @@ class GPILSContinuousConfig:
     hidden: tuple = (256, 256)
     max_support: int = 32
     use_gpi: bool = True
+    # stability recipe of the reference's JAX continuous critics
+    # (gpi_ls_continuous_action_jax.py:63-107): BatchRenorm + WeightNorm +
+    # leaky-relu + dropout.  Disable for the plain relu/no-norm nets.
+    use_batch_renorm: bool = True
+    dropout_rate: float = 0.01
+    batch_norm_momentum: float = 0.99
     seed: int = 0
 
 
@@ -82,8 +88,50 @@ class GPILSContinuous(MOAgentBase):
         self.cfg = config
         self.venv = VectorMOEnv(env, config.num_envs)
         self.action_dim = env.action_dim
-        self.actor = DeterministicActor(action_dim=self.action_dim, hidden=config.hidden)
-        self.critic = ensemble(ContinuousQNet, config.n_critics, reward_dim=env.reward_dim, hidden=config.hidden)
+        if config.use_batch_renorm:
+            self.actor = StabilizedActor(
+                action_dim=self.action_dim, hidden=config.hidden, momentum=config.batch_norm_momentum
+            )
+            self.critic = ensemble(
+                StabilizedQNet,
+                config.n_critics,
+                reward_dim=env.reward_dim,
+                hidden=config.hidden,
+                dropout_rate=config.dropout_rate,
+                momentum=config.batch_norm_momentum,
+            )
+        else:
+            self.actor = DeterministicActor(action_dim=self.action_dim, hidden=config.hidden)
+            self.critic = ensemble(
+                ContinuousQNet, config.n_critics, reward_dim=env.reward_dim, hidden=config.hidden
+            )
+
+    @staticmethod
+    def _polyak_stats(new, old, tau: float):
+        """Polyak-track batch statistics; integer leaves (step counters) copy hard."""
+        return jax.tree.map(
+            lambda a, b: a if jnp.issubdtype(a.dtype, jnp.integer) else tau * a + (1.0 - tau) * b,
+            new,
+            old,
+        )
+
+    # ---- forward helpers: one code path for plain and BatchRenorm modules --
+
+    def _actor_fwd(self, ts: TrainState, obs, w, target: bool = False):
+        """Eval-mode actor forward (running batch statistics)."""
+        params = ts.target_params if target else ts.params
+        if not self.cfg.use_batch_renorm:
+            return self.actor.apply({"params": params}, obs, w)
+        bs = ts.target_batch_stats if target else ts.batch_stats
+        return self.actor.apply({"params": params, "batch_stats": bs}, obs, w, False)
+
+    def _critic_fwd(self, ts: TrainState, obs, action, w, target: bool = False):
+        """Eval-mode critic forward -> (C, B, d)."""
+        params = ts.target_params if target else ts.params
+        if not self.cfg.use_batch_renorm:
+            return self.critic.apply({"params": params}, obs, action, w)
+        bs = ts.target_batch_stats if target else ts.batch_stats
+        return self.critic.apply({"params": params, "batch_stats": bs}, obs, action, w, False, True)
 
     def init_state(self, key: jax.Array | None = None) -> GPILSContState:
         cfg = self.cfg
@@ -92,13 +140,25 @@ class GPILSContinuous(MOAgentBase):
         d_obs = jnp.zeros((1, self.obs_dim))
         d_act = jnp.zeros((1, self.action_dim))
         d_w = jnp.zeros((1, self.reward_dim))
-        aparams = self.actor.init(ka, d_obs, d_w)
-        cparams = self.critic.init(kc, d_obs, d_act, d_w)
+        avars = self.actor.init(ka, d_obs, d_w)
+        cvars = self.critic.init(kc, d_obs, d_act, d_w)
+        abstats = avars.get("batch_stats")
+        cbstats = cvars.get("batch_stats")
         actor_ts = TrainState.create(
-            apply_fn=self.actor.apply, params=aparams, target_params=aparams, tx=optax.adam(cfg.learning_rate)
+            apply_fn=self.actor.apply,
+            params=avars["params"],
+            target_params=avars["params"],
+            batch_stats=abstats,
+            target_batch_stats=abstats,
+            tx=optax.adam(cfg.learning_rate),
         )
         critic_ts = TrainState.create(
-            apply_fn=self.critic.apply, params=cparams, target_params=cparams, tx=optax.adam(cfg.learning_rate)
+            apply_fn=self.critic.apply,
+            params=cvars["params"],
+            target_params=cvars["params"],
+            batch_stats=cbstats,
+            target_batch_stats=cbstats,
+            tx=optax.adam(cfg.learning_rate),
         )
         env_state, obs = self.venv.reset(ke)
         d = self.reward_dim
@@ -132,38 +192,71 @@ class GPILSContinuous(MOAgentBase):
 
     def _update(self, s: GPILSContState, batch: Transition, w: jnp.ndarray, key: jax.Array):
         cfg = self.cfg
-        k_noise, k_act = jax.random.split(key)
+        k_noise, k_drop, k_act = jax.random.split(key, 3)
         noise = jnp.clip(
             jax.random.normal(k_noise, (batch.obs.shape[0], self.action_dim)) * cfg.policy_noise,
             -cfg.noise_clip,
             cfg.noise_clip,
         )
-        next_a = jnp.clip(self.actor.apply(s.actor_ts.target_params, batch.next_obs, w) + noise, -1.0, 1.0)
-        q_next = self.critic.apply(s.critic_ts.target_params, batch.next_obs, next_a, w)  # (C, B, d)
+        next_a = jnp.clip(self._actor_fwd(s.actor_ts, batch.next_obs, w, target=True) + noise, -1.0, 1.0)
+        q_next = self._critic_fwd(s.critic_ts, batch.next_obs, next_a, w, target=True)  # (C, B, d)
         scal = jnp.einsum("cbd,bd->cb", q_next, w)
         min_ind = jnp.argmin(scal, axis=0)
         min_q = jnp.take_along_axis(q_next, min_ind[None, :, None], axis=0).squeeze(0)  # (B, d)
         target = batch.reward + (1.0 - batch.terminated[:, None]) * cfg.gamma * min_q
 
-        def critic_loss_fn(params):
-            q = self.critic.apply(params, batch.obs, batch.action, w)
-            return jnp.mean((q - target[None]) ** 2)
+        if cfg.use_batch_renorm:
+            # train-mode apply mutates the BatchRenorm running statistics
+            def critic_loss_fn(params):
+                q, mut = self.critic.apply(
+                    {"params": params, "batch_stats": s.critic_ts.batch_stats},
+                    batch.obs, batch.action, w, True, False,
+                    rngs={"dropout": k_drop},
+                    mutable=["batch_stats"],
+                )
+                return jnp.mean((q - target[None]) ** 2), mut["batch_stats"]
 
-        closs, cgrads = jax.value_and_grad(critic_loss_fn)(s.critic_ts.params)
-        critic_ts = s.critic_ts.apply_gradients(grads=cgrads)
+            (closs, new_cbs), cgrads = jax.value_and_grad(critic_loss_fn, has_aux=True)(s.critic_ts.params)
+            critic_ts = s.critic_ts.apply_gradients(grads=cgrads).replace(batch_stats=new_cbs)
+        else:
+            def critic_loss_fn(params):
+                q = self.critic.apply({"params": params}, batch.obs, batch.action, w)
+                return jnp.mean((q - target[None]) ** 2)
+
+            closs, cgrads = jax.value_and_grad(critic_loss_fn)(s.critic_ts.params)
+            critic_ts = s.critic_ts.apply_gradients(grads=cgrads)
 
         def actor_update(args):
             actor_ts, critic_ts = args
 
-            def actor_loss_fn(params):
-                a = self.actor.apply(params, batch.obs, w)
-                q = self.critic.apply(critic_ts.params, batch.obs, a, w)  # (C, B, d)
-                return -jnp.mean(jnp.einsum("bd,bd->b", q.mean(axis=0), w))
+            if cfg.use_batch_renorm:
+                def actor_loss_fn(params):
+                    a, mut = self.actor.apply(
+                        {"params": params, "batch_stats": actor_ts.batch_stats},
+                        batch.obs, w, True,
+                        mutable=["batch_stats"],
+                    )
+                    # critic in eval mode: running stats, no stat pollution
+                    q = self._critic_fwd(critic_ts, batch.obs, a, w)
+                    return -jnp.mean(jnp.einsum("bd,bd->b", q.mean(axis=0), w)), mut["batch_stats"]
 
-            aloss, agrads = jax.value_and_grad(actor_loss_fn)(actor_ts.params)
-            actor_ts = actor_ts.apply_gradients(grads=agrads)
+                (aloss, new_abs), agrads = jax.value_and_grad(actor_loss_fn, has_aux=True)(actor_ts.params)
+                actor_ts = actor_ts.apply_gradients(grads=agrads).replace(batch_stats=new_abs)
+            else:
+                def actor_loss_fn(params):
+                    a = self.actor.apply({"params": params}, batch.obs, w)
+                    q = self.critic.apply({"params": critic_ts.params}, batch.obs, a, w)
+                    return -jnp.mean(jnp.einsum("bd,bd->b", q.mean(axis=0), w))
+
+                aloss, agrads = jax.value_and_grad(actor_loss_fn)(actor_ts.params)
+                actor_ts = actor_ts.apply_gradients(grads=agrads)
             actor_ts = actor_ts.replace(
-                target_params=optax.incremental_update(actor_ts.params, actor_ts.target_params, cfg.tau)
+                target_params=optax.incremental_update(actor_ts.params, actor_ts.target_params, cfg.tau),
+                target_batch_stats=self._polyak_stats(
+                    actor_ts.batch_stats, actor_ts.target_batch_stats, cfg.tau
+                )
+                if cfg.use_batch_renorm
+                else actor_ts.target_batch_stats,
             )
             return actor_ts, critic_ts
 
@@ -171,7 +264,12 @@ class GPILSContinuous(MOAgentBase):
             s.iter_count % cfg.policy_freq == 0, actor_update, lambda a: a, (s.actor_ts, critic_ts)
         )
         critic_ts = critic_ts.replace(
-            target_params=optax.incremental_update(critic_ts.params, critic_ts.target_params, cfg.tau)
+            target_params=optax.incremental_update(critic_ts.params, critic_ts.target_params, cfg.tau),
+            target_batch_stats=self._polyak_stats(
+                critic_ts.batch_stats, critic_ts.target_batch_stats, cfg.tau
+            )
+            if cfg.use_batch_renorm
+            else critic_ts.target_batch_stats,
         )
         return s._replace(actor_ts=actor_ts, critic_ts=critic_ts)
 
@@ -183,7 +281,7 @@ class GPILSContinuous(MOAgentBase):
 
         def body(s: GPILSContState, _):
             key, k_act, k_step, k_w, k_upd, k_rand = jax.random.split(s.key, 6)
-            a_pol = self.actor.apply(s.actor_ts.params, s.obs, s.task_w)
+            a_pol = self._actor_fwd(s.actor_ts, s.obs, s.task_w)
             a_pol = jnp.clip(
                 a_pol + jax.random.normal(k_act, a_pol.shape) * cfg.exploration_noise, -1.0, 1.0
             )
@@ -237,11 +335,11 @@ class GPILSContinuous(MOAgentBase):
         Reference gpi_pd_continuous_action.py:454-485.
         """
         if not self.cfg.use_gpi:
-            return self.actor.apply(state.actor_ts.params, obs[None], w[None])[0]
+            return self._actor_fwd(state.actor_ts, obs[None], w[None])[0]
         M = state.support  # (Ms, d)
         obs_m = jnp.tile(obs[None], (M.shape[0], 1))
-        acts = self.actor.apply(state.actor_ts.params, obs_m, M)  # (Ms, A)
-        q = self.critic.apply(state.critic_ts.params, obs_m, acts, M)  # (C, Ms, d)
+        acts = self._actor_fwd(state.actor_ts, obs_m, M)  # (Ms, A)
+        q = self._critic_fwd(state.critic_ts, obs_m, acts, M)  # (C, Ms, d)
         scal = jnp.einsum("cmd,d->cm", q, w).mean(axis=0)
         scal = jnp.where(jnp.arange(M.shape[0]) < state.support_size, scal, -jnp.inf)
         return acts[jnp.argmax(scal)]

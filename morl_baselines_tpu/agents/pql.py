@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.indicators import hypervolume_2d
+from ..core.indicators import hypervolume_2d, hypervolume_3d, hypervolume_mc
 from ..core.pareto import non_dominated_mask
 from ..envs.base import MOEnv
 from ..evaluation.evaluation import multi_policy_metrics
@@ -113,12 +113,23 @@ class PQL(MOAgentBase):
 
     # ------------------------------------------------------------- action eval
 
-    def _score_actions(self, state: PQLState, s_idx):
-        """Per-action score of Q_set(s, a) (reference :122-154)."""
+    def _score_actions(self, state: PQLState, s_idx, key=None):
+        """Per-action score of Q_set(s, a) (reference :122-154).
+
+        Hypervolume scoring works at any d (reference pql.py:122-154 uses
+        pymoo exact HV): exact device kernels for d<=3, Monte-Carlo estimate
+        beyond (common random numbers across actions keep the comparison
+        consistent within a step)."""
+
         def score_a(a):
             vals, valid = self._q_set_of(state, s_idx, a)
-            if self.cfg.action_eval == "hypervolume" and self.reward_dim == 2:
-                return hypervolume_2d(vals, self.ref_point, valid)
+            if self.cfg.action_eval == "hypervolume":
+                if self.reward_dim == 2:
+                    return hypervolume_2d(vals, self.ref_point, valid)
+                if self.reward_dim == 3:
+                    return hypervolume_3d(vals, self.ref_point, valid)
+                k = key if key is not None else jax.random.key(0)
+                return hypervolume_mc(vals, self.ref_point, k, valid, n_samples=2048)
             # cardinality of non-dominated members
             return jnp.sum(non_dominated_mask(vals, valid)).astype(jnp.float32)
 
@@ -132,7 +143,7 @@ class PQL(MOAgentBase):
         env = self.env
 
         def body(s: PQLState, _):
-            key, k_eps, k_act, k_step, k_reset = jax.random.split(s.key, 5)
+            key, k_eps, k_act, k_step, k_reset, k_hv = jax.random.split(s.key, 6)
             s_idx = env.state_index(s.obs)
             eps = jnp.clip(
                 cfg.initial_epsilon
@@ -140,7 +151,7 @@ class PQL(MOAgentBase):
                 cfg.final_epsilon,
                 cfg.initial_epsilon,
             )
-            scores = self._score_actions(s, s_idx)
+            scores = self._score_actions(s, s_idx, k_hv)
             greedy = jnp.argmax(scores)
             action = jnp.where(
                 jax.random.uniform(k_eps) < eps,
@@ -148,7 +159,6 @@ class PQL(MOAgentBase):
                 greedy,
             )
             out = env.step(s.env_state, action, k_step)
-            ns_idx = env.state_index(out.final_obs if hasattr(out, "final_obs") else out.obs)
             ns_idx = env.state_index(out.obs)
             done = out.terminated | out.truncated
 
@@ -244,7 +254,9 @@ class PQL(MOAgentBase):
             n = min(seg, total_timesteps - done_steps)
             state = self.train_segment(state, n)
             done_steps += n
-            start_idx = int(np.asarray(self.env.state_index(jnp.asarray(np.asarray(state.obs) * 0))))
+            # local PCS at the env's start state (reference get_local_pcs at s0)
+            _, obs0 = self.env.reset(jax.random.key(self.cfg.seed))
+            start_idx = int(np.asarray(self.env.state_index(obs0)))
             front = self.get_local_pcs(state, start_idx)
             if ref_point is not None and len(front):
                 from ..core.weights import equally_spaced_weights

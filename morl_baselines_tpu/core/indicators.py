@@ -55,6 +55,34 @@ def hypervolume_2d(
     return jnp.sum(jnp.maximum(area, 0.0))
 
 
+def hypervolume_3d(
+    front: jnp.ndarray, ref_point: jnp.ndarray, valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Exact 3-objective hypervolume under jit.
+
+    Slab sweep over the third objective: sort points by obj-2 descending; the
+    slab between consecutive z-values contributes (z_i - z_next) times the 2-D
+    hypervolume of the points at or above that z (prefix of the sorted order).
+    O(N^2 log N) as N parallel 2-D staircases — exact and cheap for the small
+    in-graph fronts (PQL action sets, reference pql.py:122-154 scores HV at
+    any d via pymoo on host).
+    """
+    front = jnp.asarray(front, dtype=jnp.float32)
+    ref = jnp.asarray(ref_point, dtype=jnp.float32)
+    n = front.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    # collapse invalid points onto ref: zero volume, sorted last
+    pts = jnp.where(valid[:, None], jnp.maximum(front, ref), ref)
+    order = jnp.argsort(-pts[:, 2])
+    pts = pts[order]
+    z = pts[:, 2]
+    z_next = jnp.concatenate([z[1:], ref[2][None]])
+    prefix = jnp.arange(n)[None, :] <= jnp.arange(n)[:, None]  # (i, j): j in prefix of i
+    hv2 = jax.vmap(lambda m: hypervolume_2d(pts[:, :2], ref[:2], m))(prefix)
+    return jnp.sum(jnp.maximum(z - z_next, 0.0) * hv2)
+
+
 def hypervolume_mc(
     front: jnp.ndarray,
     ref_point: jnp.ndarray,

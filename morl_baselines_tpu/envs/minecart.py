@@ -141,42 +141,91 @@ class Minecart(MOEnv):
             new_state, self._obs(new_state), reward, sell, t >= self.max_episode_steps
         )
 
-    def pareto_front(self, gamma: float) -> np.ndarray:
-        """Approximate known front: policies "drive to mine i, mine k times, return".
+    # ------------------------------------------------------------------ front
 
-        Travel time is estimated from the physics (full-throttle straight
-        line); fuel is the per-step cost pattern of that open-loop policy.
-        Self-consistent with this env's dynamics (not bit-identical to
-        MO-Gymnasium's enumeration).
+    def _scripted_rollout_returns(self, gamma: float) -> np.ndarray:
+        """True discounted returns of the scripted mine-and-return policy
+        family, obtained by SIMULATING each policy under this env's exact
+        dynamics (deterministic ore means) — the same construction
+        MO-Gymnasium's ``pareto_front(gamma)`` uses (scripted policies per
+        mine; consumed by reference launch_experiment.py:203-206).
+
+        Policy parameters: target mine i, number of mine actions k, and the
+        acceleration budget n_acc (fewer accelerations = slower but cheaper
+        travel).  Controller: rotate to face the mine, accelerate n_acc times
+        then coast, brake on entering the mine radius, mine k times, rotate
+        180 degrees, accelerate n_acc times and coast home; the sale fires in
+        the env itself.
         """
+        det_env = Minecart(deterministic=True, max_episode_steps=self.max_episode_steps)
+
+        mine_ids, ks, naccs = np.meshgrid(
+            np.arange(_N_MINES), np.array([1, 2, 3]), np.array([1, 2, 4, 8]), indexing="ij"
+        )
+        mine_ids = jnp.asarray(mine_ids.ravel(), dtype=jnp.int32)
+        ks = jnp.asarray(ks.ravel(), dtype=jnp.int32)
+        naccs = jnp.asarray(naccs.ravel(), dtype=jnp.int32)
+        # rotation steps from the start angle (45 deg) to the mine angle, in
+        # +/-15 deg increments (mine angles are exact multiples)
+        rot_out = jnp.asarray(
+            np.rint((_MINE_ANGLES - np.deg2rad(45.0)) / _ROTATION).astype(np.int32)
+        )[mine_ids]
+
+        def rollout(mine_i, k, n_acc, rot):
+            env_s, _ = det_env.reset(jax.random.key(0))
+            ctrl0 = dict(
+                rot_out=jnp.abs(rot),
+                acc_out=n_acc,
+                brake=jnp.int32(10),
+                mine=k,
+                rot_back=jnp.int32(12),
+                acc_back=n_acc,
+            )
+
+            def body(carry, _):
+                env_s, c, ret, gpow, done = carry
+                d2 = jnp.sum((det_env._mine_pos - env_s.pos[None, :]) ** 2, axis=-1)
+                in_mine = jnp.any(d2 <= _MINE_RADIUS**2)
+                outbound = c["mine"] > 0
+                # priority cascade: rotate out -> travel out -> brake ->
+                # mine -> rotate back -> accelerate back -> coast
+                a = jnp.int32(5)
+                a = jnp.where((c["acc_back"] > 0) & ~outbound & (c["rot_back"] == 0), 3, a)
+                a = jnp.where((c["rot_back"] > 0) & ~outbound, 1, a)
+                a = jnp.where(outbound & in_mine & (c["brake"] == 0), 0, a)
+                a = jnp.where(outbound & in_mine & (c["brake"] > 0), 4, a)
+                a = jnp.where(outbound & ~in_mine & (c["acc_out"] > 0) & (c["rot_out"] == 0), 3, a)
+                a = jnp.where(c["rot_out"] > 0, jnp.where(rot > 0, 1, 2), a)
+
+                out = det_env.step(env_s, a, jax.random.key(0))
+                nc = dict(
+                    rot_out=c["rot_out"] - (c["rot_out"] > 0),
+                    acc_out=c["acc_out"] - ((a == 3) & outbound),
+                    brake=c["brake"] - (a == 4),
+                    mine=c["mine"] - (a == 0),
+                    rot_back=c["rot_back"] - ((a == 1) & ~outbound),
+                    acc_back=c["acc_back"] - ((a == 3) & ~outbound),
+                )
+                ret = ret + jnp.where(done, 0.0, gpow) * out.reward
+                done = done | out.terminated | out.truncated
+                return (out.state, nc, ret, gpow * gamma, done), None
+
+            init = (env_s, ctrl0, jnp.zeros(3), jnp.float32(1.0), jnp.bool_(False))
+            (fs, _, ret, _, done), _ = jax.lax.scan(body, init, None, length=self.max_episode_steps)
+            return ret, done
+
+        rets, dones = jax.jit(jax.vmap(rollout))(mine_ids, ks, naccs, rot_out)
+        rets = np.asarray(rets, dtype=np.float64)
+        # keep only policies that actually completed a sale
+        return rets[np.asarray(dones)]
+
+    def pareto_front(self, gamma: float) -> np.ndarray:
+        """Known discounted front: exact-by-construction via simulation of the
+        scripted policy family under this env's own dynamics, plus the idle
+        policy (never leave home: zero ore, idle fuel to the horizon)."""
         from ..core.pareto import filter_pareto_dominated
 
-        pts = []
-        for i in range(_N_MINES):
-            dist = float(np.linalg.norm(_MINE_POS[i] - _HOME)) - _MINE_RADIUS
-            # accelerate to max speed then cruise
-            t_accel = int(np.ceil(_MAX_SPEED / _ACCEL))
-            d_accel = sum(min(_ACCEL * (k + 1), _MAX_SPEED) for k in range(t_accel))
-            if d_accel >= dist:
-                t_out = int(np.ceil(np.sqrt(2 * dist / _ACCEL)))
-            else:
-                t_out = t_accel + int(np.ceil((dist - d_accel) / _MAX_SPEED))
-            for k in (1, 2, 3):
-                mined = np.minimum(_MINE_MEANS[i] * k, _CAPACITY * _MINE_MEANS[i] / _MINE_MEANS[i].sum() / 1.0)
-                total_ore = min(float(_MINE_MEANS[i].sum() * k), _CAPACITY)
-                mined = _MINE_MEANS[i] / _MINE_MEANS[i].sum() * total_ore
-                t_total = 2 * t_out + k + 2  # +2 turn-around steps
-                disc_sell = gamma ** (t_total - 1)
-                fuel = 0.0
-                for step in range(t_total):
-                    c = _FUEL_IDLE
-                    if step < t_accel or (t_out + k + 2 <= step < t_out + k + 2 + t_accel):
-                        c += _FUEL_ACC
-                    if t_out <= step < t_out + k:
-                        c += _FUEL_MINE
-                    fuel += (gamma**step) * c
-                pts.append([mined[0] * disc_sell, mined[1] * disc_sell, fuel])
-        # the all-idle policy (never leave home): zero ore, idle fuel
-        idle_fuel = sum((gamma**s) * _FUEL_IDLE for s in range(self.max_episode_steps))
-        pts.append([0.0, 0.0, idle_fuel])
-        return filter_pareto_dominated(np.asarray(pts, dtype=np.float64))
+        pts = list(self._scripted_rollout_returns(gamma))
+        idle_fuel = _FUEL_IDLE * (1.0 - gamma**self.max_episode_steps) / (1.0 - gamma) if gamma < 1.0 else _FUEL_IDLE * self.max_episode_steps
+        pts.append(np.array([0.0, 0.0, idle_fuel]))
+        return filter_pareto_dominated(np.asarray(pts, dtype=np.float64), keep_duplicates=False)

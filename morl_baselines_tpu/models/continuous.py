@@ -15,9 +15,56 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .networks import MLP
+from .networks import MLP, BatchRenorm
 
 LOG_STD_MIN, LOG_STD_MAX = -5.0, 2.0
+
+
+class StabilizedQNet(nn.Module):
+    """Q(s, a, w) -> R^d with the reference's stability recipe: BatchRenorm
+    between layers, WeightNorm-parameterized Dense, leaky-relu, dropout
+    (reference gpi_ls_continuous_action_jax.py:83-107 QNetwork).
+
+    ``train=True`` updates the BatchRenorm running statistics (mutable
+    ``batch_stats`` collection); eval applies uses the running averages.
+    """
+
+    reward_dim: int
+    hidden: Sequence[int] = (256, 256)
+    dropout_rate: float = 0.01
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, obs, action, w=None, train: bool = False, deterministic: bool = True):
+        parts = [obs, action] if w is None else [obs, action, w]
+        x = jnp.concatenate(parts, axis=-1)
+        x = BatchRenorm(use_running_average=not train, momentum=self.momentum)(x)
+        for h in self.hidden:
+            x = nn.WeightNorm(nn.Dense(h))(x)
+            if self.dropout_rate > 0:
+                x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+            x = nn.leaky_relu(x)
+            x = BatchRenorm(use_running_average=not train, momentum=self.momentum)(x)
+        return nn.Dense(self.reward_dim)(x)
+
+
+class StabilizedActor(nn.Module):
+    """mu(s, w) -> a in [-1, 1] with BatchRenorm + WeightNorm + leaky-relu
+    (reference gpi_ls_continuous_action_jax.py:56-81 Policy)."""
+
+    action_dim: int
+    hidden: Sequence[int] = (256, 256)
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, obs, w, train: bool = False):
+        x = jnp.concatenate([obs, w], axis=-1)
+        x = BatchRenorm(use_running_average=not train, momentum=self.momentum)(x)
+        for h in self.hidden:
+            x = nn.WeightNorm(nn.Dense(h))(x)
+            x = nn.leaky_relu(x)
+            x = BatchRenorm(use_running_average=not train, momentum=self.momentum)(x)
+        return jnp.tanh(nn.Dense(self.action_dim)(x))
 
 
 class SquashedGaussianActor(nn.Module):

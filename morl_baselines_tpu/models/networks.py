@@ -31,9 +31,16 @@ from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
-    """TrainState with target params (reference gpi_ls_jax.py:131-134)."""
+    """TrainState with target params (reference gpi_ls_jax.py:131-134).
+
+    ``batch_stats`` carry BatchRenorm running statistics (a separate flax
+    variable collection — NOT gradient-trained); ``target_batch_stats`` are
+    their polyak-tracked twin for target networks.
+    """
 
     target_params: Any = None
+    batch_stats: Any = None
+    target_batch_stats: Any = None
 
 
 def polyak_update(params, target_params, tau: float):
@@ -53,6 +60,58 @@ _ACTS: dict[str, Callable] = {
     "leaky_relu": nn.leaky_relu,
     "gelu": nn.gelu,
 }
+
+
+class BatchRenorm(nn.Module):
+    """Batch Renormalization (Ioffe, 2017 — arXiv:1702.03275).
+
+    Our own implementation of the layer the reference's continuous JAX
+    critics treat as load-bearing (gpi_ls_continuous_action_jax.py:856-939):
+    during a warmup phase it behaves like plain BatchNorm; afterwards batches
+    are normalized with batch statistics *corrected toward the running
+    statistics* by the clipped, stop-gradient factors r and d, which makes
+    long off-policy runs robust to outlier batches.
+
+    Running statistics live in the ``batch_stats`` variable collection
+    (mutable during train-mode applies).
+    """
+
+    use_running_average: bool | None = None
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    warmup_steps: int = 100_000
+    rmax: float = 3.0
+    dmax: float = 5.0
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        ura = nn.merge_param("use_running_average", self.use_running_average, use_running_average)
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((feat,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((feat,)))
+        steps = self.variable("batch_stats", "steps", lambda: jnp.zeros((), jnp.int32))
+        if ura:
+            y = (x - ra_mean.value) / jnp.sqrt(ra_var.value + self.epsilon)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            b_mean = jnp.mean(x, axes)
+            b_var = jnp.var(x, axes)
+            b_std = jnp.sqrt(b_var + self.epsilon)
+            ra_std = jnp.sqrt(ra_var.value + self.epsilon)
+            warm = steps.value > self.warmup_steps
+            r = jnp.clip(b_std / ra_std, 1.0 / self.rmax, self.rmax)
+            d = jnp.clip((b_mean - ra_mean.value) / ra_std, -self.dmax, self.dmax)
+            r = jax.lax.stop_gradient(jnp.where(warm, r, 1.0))
+            d = jax.lax.stop_gradient(jnp.where(warm, d, 0.0))
+            y = (x - b_mean) / b_std * r + d
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * b_mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * b_var
+                steps.value = steps.value + 1
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        return y * scale + bias
 
 
 class MLP(nn.Module):
@@ -161,7 +220,7 @@ def ensemble(module_cls, num: int, **kwargs):
         module_cls,
         in_axes=None,  # all positional inputs (incl. the deterministic flag) broadcast
         out_axes=0,
-        variable_axes={"params": 0},
+        variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True, "dropout": True},
         axis_size=num,
     )(**kwargs)

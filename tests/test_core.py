@@ -169,3 +169,22 @@ def test_host_archive():
     arch.add("d", np.array([2.0, 2.0]))
     assert len(arch) == 1
     assert arch.individuals == ["d"]
+
+
+def test_hypervolume_3d_device_exact():
+    """Jittable 3-D slab-sweep kernel matches the exact host WFG, incl. masks."""
+    from morl_baselines_tpu.core.indicators import hypervolume_3d
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        front = rng.uniform(0.1, 1.0, size=(12, 3))
+        ref = np.zeros(3)
+        exact = hypervolume(front, ref)
+        dev = float(jax.jit(hypervolume_3d)(jnp.asarray(front), jnp.asarray(ref)))
+        assert dev == pytest.approx(exact, rel=1e-4)
+    # valid-mask rows must contribute nothing
+    front = rng.uniform(0.1, 1.0, size=(8, 3))
+    valid = np.array([True] * 5 + [False] * 3)
+    exact = hypervolume(front[:5], np.zeros(3))
+    dev = float(hypervolume_3d(jnp.asarray(front), jnp.zeros(3), jnp.asarray(valid)))
+    assert dev == pytest.approx(exact, rel=1e-4)

@@ -64,8 +64,11 @@ def test_gpi_ls_priority_uses_evaluator():
     w = ls.next_weight("gpi-ls", gpi_evaluator=gpi_eval)
     assert w is not None
     assert "ws" in calls  # batched evaluation happened
-    # priority at (0.5, 0.5): gpi value 6 vs ccs value 5 -> positive priority
-    assert any(np.allclose(w, [0.5, 0.5], atol=1e-4) for w in [w]) or True
+    # GPI-LS priority geometry: at the corner (0.5, 0.5) the GPI value 6
+    # exceeds the CCS value 5 (positive priority), while at the extrema the
+    # GPI value 6 is below the CCS value 10 (negative) — so the corner must
+    # be selected.
+    np.testing.assert_allclose(w, [0.5, 0.5], atol=1e-4)
 
 
 def test_dominated_solution_discarded():

@@ -411,11 +411,29 @@ class GPILS(MOAgentBase):
         act = lambda obs, w, k: self.act_eval(
             state.ts.params, state.support[:cap], jnp.minimum(state.support_size, cap), obs, w
         )
+        # NOTE: weights.shape[0] is a trace shape — callers with varying
+        # weight counts should go through eval_weights_values_padded to avoid
+        # a recompile per count.
         keys = jax.random.split(key, weights.shape[0])
         _, discs = jax.vmap(
             lambda w, k: policy_evaluation(self.env, act, w, k, rep, self.cfg.gamma, max_steps)
         )(weights, keys)
         return discs
+
+    def eval_weights_values_padded(
+        self, state, weights: np.ndarray, rep: int, max_steps: int, support_cap: int | None = None
+    ) -> np.ndarray:
+        """Host wrapper: pad the weight batch to the next power of two so the
+        jitted vmapped evaluation compiles once per bucket instead of once per
+        corner-weight count (the GPI-LS outer loop changes the count every
+        iteration — unpadded, that recompiled the whole rollout each time)."""
+        ws = np.asarray(weights, dtype=np.float32)
+        n = ws.shape[0]
+        m = 1 << max(0, (n - 1)).bit_length()
+        if m > n:
+            ws = np.concatenate([ws, np.tile(ws[-1:], (m - n, 1))], axis=0)
+        vals = self.eval_weights_values(state, jnp.asarray(ws), rep, max_steps, support_cap)
+        return np.asarray(vals)[:n]
 
     # ----------------------------------------------------------------- train
 
@@ -455,14 +473,8 @@ class GPILS(MOAgentBase):
             # -- next weight
             if weight_selection_algo == "gpi-ls":
                 state = self.set_weight_support(state, linear_support.get_weight_support())
-                evaluator = lambda ws: np.asarray(
-                    self.eval_weights_values(
-                        state,
-                        jnp.asarray(ws, dtype=jnp.float32),
-                        num_eval_episodes_for_front,
-                        max_steps,
-                        _cap(state),
-                    )
+                evaluator = lambda ws: self.eval_weights_values_padded(
+                    state, ws, num_eval_episodes_for_front, max_steps, _cap(state)
                 )
                 w = linear_support.next_weight("gpi-ls", gpi_evaluator=evaluator)
             else:
@@ -483,26 +495,14 @@ class GPILS(MOAgentBase):
 
             # -- update CCS
             if weight_selection_algo == "ols":
-                value = np.asarray(
-                    self.eval_weights_values(
-                        state,
-                        jnp.asarray(w, dtype=jnp.float32)[None],
-                        num_eval_episodes_for_front,
-                        max_steps,
-                        _cap(state),
-                    )
+                value = self.eval_weights_values_padded(
+                    state, np.asarray(w)[None], num_eval_episodes_for_front, max_steps, _cap(state)
                 )[0]
                 linear_support.add_solution(value, w)
             else:
                 M_arr = np.stack(unique_tol([np.asarray(m) for m in M]))
-                values = np.asarray(
-                    self.eval_weights_values(
-                        state,
-                        jnp.asarray(M_arr, dtype=jnp.float32),
-                        num_eval_episodes_for_front,
-                        max_steps,
-                        _cap(state),
-                    )
+                values = self.eval_weights_values_padded(
+                    state, M_arr, num_eval_episodes_for_front, max_steps, _cap(state)
                 )
                 for wcw, val in zip(M_arr, values):
                     linear_support.add_solution(val, wcw)
@@ -510,10 +510,8 @@ class GPILS(MOAgentBase):
 
             # -- front metrics
             if ref_point is not None:
-                front = np.asarray(
-                    self.eval_weights_values(
-                        state, eval_weights, num_eval_episodes_for_front, max_steps, _cap(state)
-                    )
+                front = self.eval_weights_values_padded(
+                    state, np.asarray(eval_weights), num_eval_episodes_for_front, max_steps, _cap(state)
                 )
                 metrics = multi_policy_metrics(
                     front, np.asarray(ref_point), np.asarray(eval_weights), known_pareto_front

@@ -353,6 +353,19 @@ class GPILSContinuous(MOAgentBase):
         )(weights, keys)
         return discs
 
+    def eval_weights_values_padded(
+        self, state, weights: np.ndarray, rep: int, max_steps: int
+    ) -> np.ndarray:
+        """Pad weight batches to power-of-two buckets: one compile per bucket
+        instead of one per corner-weight count (see gpils.py)."""
+        ws = np.asarray(weights, dtype=np.float32)
+        n = ws.shape[0]
+        m = 1 << max(0, (n - 1)).bit_length()
+        if m > n:
+            ws = np.concatenate([ws, np.tile(ws[-1:], (m - n, 1))], axis=0)
+        vals = self.eval_weights_values(state, jnp.asarray(ws), rep, max_steps)
+        return np.asarray(vals)[:n]
+
     # ----------------------------------------------------------------- train
 
     def train(
@@ -381,8 +394,8 @@ class GPILSContinuous(MOAgentBase):
         for it in range(1, max_iter + 1):
             if weight_selection_algo == "gpi-ls":
                 state = self.set_weight_support(state, linear_support.get_weight_support())
-                evaluator = lambda ws: np.asarray(
-                    self.eval_weights_values(state, jnp.asarray(ws, dtype=jnp.float32), num_eval_episodes_for_front, max_steps)
+                evaluator = lambda ws: self.eval_weights_values_padded(
+                    state, ws, num_eval_episodes_for_front, max_steps
                 )
                 w = linear_support.next_weight("gpi-ls", gpi_evaluator=evaluator)
             else:
@@ -400,16 +413,14 @@ class GPILSContinuous(MOAgentBase):
             state = self.train_segment(state, iters, weight_selection_algo == "gpi-ls")
 
             M_arr = np.stack(unique_tol([np.asarray(m) for m in M]))
-            values = np.asarray(
-                self.eval_weights_values(state, jnp.asarray(M_arr, dtype=jnp.float32), num_eval_episodes_for_front, max_steps)
-            )
+            values = self.eval_weights_values_padded(state, M_arr, num_eval_episodes_for_front, max_steps)
             for wcw, val in zip(M_arr, values):
                 linear_support.add_solution(val, wcw)
             state = self.set_weight_support(state, linear_support.get_weight_support())
 
             if ref_point is not None:
-                front = np.asarray(
-                    self.eval_weights_values(state, eval_weights, num_eval_episodes_for_front, max_steps)
+                front = self.eval_weights_values_padded(
+                    state, np.asarray(eval_weights), num_eval_episodes_for_front, max_steps
                 )
                 metrics = multi_policy_metrics(front, np.asarray(ref_point), np.asarray(eval_weights), known_pareto_front)
                 metrics["charts/SPS"] = int(state.global_step) / (time.time() - t0)

@@ -270,10 +270,8 @@ class GPIPD(GPILS):
             if weight_selection_algo == "gpi-ls":
                 base = self.set_weight_support(base, linear_support.get_weight_support())
                 state = state._replace(base=base)
-                evaluator = lambda ws: np.asarray(
-                    self.eval_weights_values(
-                        state.base, jnp.asarray(ws, dtype=jnp.float32), num_eval_episodes_for_front, max_steps
-                    )
+                evaluator = lambda ws: self.eval_weights_values_padded(
+                    state.base, ws, num_eval_episodes_for_front, max_steps
                 )
                 w = linear_support.next_weight("gpi-ls", gpi_evaluator=evaluator)
             else:
@@ -307,18 +305,16 @@ class GPIPD(GPILS):
                 done_iters += n
 
             M_arr = np.stack(unique_tol([np.asarray(m) for m in M]))
-            values = np.asarray(
-                self.eval_weights_values(
-                    state.base, jnp.asarray(M_arr, dtype=jnp.float32), num_eval_episodes_for_front, max_steps
-                )
+            values = self.eval_weights_values_padded(
+                state.base, M_arr, num_eval_episodes_for_front, max_steps
             )
             for wcw, val in zip(M_arr, values):
                 linear_support.add_solution(val, wcw)
             state = state._replace(base=self.set_weight_support(state.base, linear_support.get_weight_support()))
 
             if ref_point is not None:
-                front = np.asarray(
-                    self.eval_weights_values(state.base, eval_weights, num_eval_episodes_for_front, max_steps)
+                front = self.eval_weights_values_padded(
+                    state.base, np.asarray(eval_weights), num_eval_episodes_for_front, max_steps
                 )
                 metrics = multi_policy_metrics(front, np.asarray(ref_point), np.asarray(eval_weights), known_pareto_front)
                 metrics["charts/SPS"] = int(state.base.global_step) / (time.time() - t0)

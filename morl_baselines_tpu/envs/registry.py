@@ -32,6 +32,16 @@ def _mujoco_env(maker):
 
     return build
 
+
+def _planar_env(maker):
+    def build(**kw):
+        from .planar import make_mo_halfcheetah_jx, make_mo_hopper_jx
+
+        return {"hopper": make_mo_hopper_jx, "halfcheetah": make_mo_halfcheetah_jx}[maker](**kw)
+
+    return build
+
+
 ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     "deep-sea-treasure-v0": lambda **kw: DeepSeaTreasure(dst_map="convex", **kw),
     "deep-sea-treasure-concave-v0": lambda **kw: DeepSeaTreasure(dst_map="concave", **kw),
@@ -55,6 +65,11 @@ ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     "mo-halfcheetah-v4": _mujoco_env("halfcheetah"),
     "mo-reacher-v4": _mujoco_env("reacher"),
     "mo-reacher-v5": _mujoco_env("reacher"),
+    # device-resident pure-JAX MuJoCo-class locomotion (envs/planar.py):
+    # same obs/action/reward interface as the host adapter, thousands of
+    # envs per chip — the performance path for the continuous BASELINE configs
+    "mo-hopper-jx-v5": _planar_env("hopper"),
+    "mo-halfcheetah-jx-v5": _planar_env("halfcheetah"),
 }
 
 # Envs whose exact discounted Pareto front is known (reference

@@ -1,0 +1,181 @@
+"""Parity protocol runner (VERDICT round-1 next-step #1).
+
+Runs the BASELINE configs at reference budgets for multiple seeds on the real
+TPU chip, logging the reference-named eval metric curves (eval/hypervolume,
+eval/eum, eval/igd, eval/mul, scalarized returns) to JSONL under results/r2/
+so the curves + seed bands can be committed and compared against the
+openrlbenchmark protocol shapes (reference docs/algos/performances.md:6-23).
+
+Usage:
+  PYTHONPATH=/root/repo python scripts/parity.py [config ...] [--seeds 0,1,2]
+Configs: moql_dst eupg_fishwood envelope_minecart gpils_dst gpils_minecart
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from morl_baselines_tpu.utils.logging import MetricLogger
+
+OUT = Path("/root/repo/results/r2")
+
+
+def _logger(name: str, seed: int) -> MetricLogger:
+    return MetricLogger(
+        experiment=f"{name}_s{seed}", jsonl_path=OUT / f"parity_{name}_seed{seed}.jsonl", stdout_every=5
+    )
+
+
+def moql_dst(seed: int):
+    """Reference examples/mo_q_learning_DST.py: concave map, w=(0.3,0.7), 100k steps."""
+    import jax
+
+    from morl_baselines_tpu.agents import MOQLearning, MOQLearningConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("deep-sea-treasure-concave-v0")
+    agent = MOQLearning(
+        env,
+        weights=np.array([0.3, 0.7]),
+        config=MOQLearningConfig(
+            gamma=0.99, initial_epsilon=1.0, final_epsilon=0.1,
+            epsilon_decay_steps=3_000, num_envs=16, seed=seed,  # per-env step clock: 100k total / 16 envs = 6.2k per-env steps
+        ),
+        log=True,
+    )
+    agent.logger = _logger("moql_dst", seed)
+    agent.train(total_timesteps=100_000, eval_freq=5_000)
+    return dict(last_eval=[list(map(float, x)) for x in agent.last_eval])
+
+
+def eupg_fishwood(seed: int):
+    """Reference examples/eupg_fishwood.py: 4M steps, ESR utility min(fish, wood//2)."""
+    from morl_baselines_tpu.agents import EUPG, EUPGConfig
+    from morl_baselines_tpu.envs import fishwood_utility, make
+
+    env = make("fishwood-v0")
+    agent = EUPG(
+        env,
+        scalarization=fishwood_utility,
+        config=EUPGConfig(num_envs=64, chunk_len=200, learning_rate=1e-3, gamma=0.99, seed=seed),
+        log=True,
+    )
+    agent.logger = _logger("eupg_fishwood", seed)
+    agent.train(total_timesteps=4_000_000, eval_freq=100_000)
+    return dict(last_eval=[list(map(float, x)) for x in agent.last_eval])
+
+
+def envelope_minecart(seed: int):
+    """BASELINE Envelope/minecart at the round-1 proven operating point
+    (64 envs x 8 updates x batch 512), 2.5M env-steps."""
+    from morl_baselines_tpu.agents import Envelope, EnvelopeConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("minecart-v0")
+    agent = Envelope(
+        env,
+        EnvelopeConfig(
+            num_envs=64, buffer_size=200_000, batch_size=512, num_sample_w=4,
+            gamma=0.98, learning_starts=2048, gradient_updates=8,
+            # per-env step clock: 2.5M/64 envs = 39k per-env steps
+            epsilon_decay_steps=15_000, homotopy_decay_steps=15_000, per=True, seed=seed,
+        ),
+        log=True,
+    )
+    agent.logger = _logger("envelope_minecart", seed)
+    agent.train(
+        total_timesteps=2_500_000,
+        ref_point=np.array([0.0, 0.0, -200.0]),
+        known_pareto_front=env.pareto_front(0.98),
+        eval_freq=125_000,
+        num_eval_weights_for_front=32,
+        eval_max_steps=400,
+    )
+    return dict(metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
+def gpils_dst(seed: int):
+    """GPI-LS on DST, 200k steps (round-1 RESULTS operating point)."""
+    from morl_baselines_tpu.agents import GPILS, GPILSConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("deep-sea-treasure-v0")
+    agent = GPILS(
+        env,
+        GPILSConfig(num_envs=128, buffer_size=100_000, gradient_updates=10,
+                    epsilon_decay_steps=1_200, gamma=0.98, seed=seed),  # 200k/128 envs = 1.5k per-env steps
+        log=True,
+    )
+    agent.logger = _logger("gpils_dst", seed)
+    agent.train(
+        total_timesteps=200_000,
+        ref_point=np.array([0.0, -50.0]),
+        known_pareto_front=env.pareto_front(0.98),
+        timesteps_per_iter=10_000,
+        num_eval_weights_for_front=32,
+    )
+    return dict(ccs=[list(map(float, v)) for v in agent.ccs],
+                metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
+def gpils_minecart(seed: int, variant: dict | None = None):
+    """GPI-LS on minecart at 2.5M steps; config from the tuning sweep."""
+    from morl_baselines_tpu.agents import GPILS, GPILSConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("minecart-v0")
+    # buffer >= total steps: minecart sales are rare exploration events and
+    # must never be overwritten (see scripts/gpils_minecart_tune.py)
+    v = variant or dict(num_envs=64, gradient_updates=8, batch_size=512, final_epsilon=0.2,
+                        epsilon_decay_steps=15_000, target_net_update_freq=100,
+                        max_support=16, per=True, buffer_size=2_500_000)
+    agent = GPILS(env, GPILSConfig(gamma=0.98, learning_starts=2048, seed=seed, **v), log=True)
+    agent.logger = _logger("gpils_minecart", seed)
+    agent.train(
+        total_timesteps=2_500_000,
+        ref_point=np.array([0.0, 0.0, -200.0]),
+        known_pareto_front=env.pareto_front(0.98),
+        timesteps_per_iter=10_000,
+        num_eval_weights_for_front=32,
+        eval_max_steps=400,
+    )
+    return dict(ccs=[list(map(float, v)) for v in agent.ccs],
+                metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
+CONFIGS = dict(
+    moql_dst=moql_dst,
+    eupg_fishwood=eupg_fishwood,
+    envelope_minecart=envelope_minecart,
+    gpils_dst=gpils_dst,
+    gpils_minecart=gpils_minecart,
+)
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seeds = [0, 1, 2]
+    for a in sys.argv[1:]:
+        if a.startswith("--seeds"):
+            seeds = [int(s) for s in a.split("=", 1)[1].split(",")]
+    names = args or list(CONFIGS)
+    OUT.mkdir(parents=True, exist_ok=True)
+    summary = open(OUT / "parity_summary.jsonl", "a")
+    for name in names:
+        for seed in seeds:
+            t0 = time.time()
+            try:
+                res = CONFIGS[name](seed)
+                rec = dict(config=name, seed=seed, wall=round(time.time() - t0, 1), **res)
+            except Exception as e:
+                rec = dict(config=name, seed=seed, error=repr(e))
+            summary.write(json.dumps(rec) + "\n")
+            summary.flush()
+            print("DONE", name, seed, flush=True)

@@ -1,15 +1,120 @@
-"""Examples must at least parse/import (the training bodies are __main__-gated)."""
+"""Examples execute end-to-end at tiny budgets (VERDICT round-1 weak #5).
 
-import importlib.util
+Every example's __main__ body runs through runpy with the agent configs and
+train budgets shrunk generically (recursive dataclass replace + train kwarg
+clamps) so the full user-facing surface — construction, train loop, eval,
+metric logging, checkpointing — is exercised, not just imported.
+"""
+
+import dataclasses
 import pathlib
+import runpy
 
 import pytest
 
 EXAMPLES = sorted((pathlib.Path(__file__).parent.parent / "examples").glob("*.py"))
 
+# generic shrink table: any matching int field of any (nested) config dataclass
+# is clamped to at most this value
+_CFG_CAPS = {
+    "num_envs": 4,
+    "buffer_size": 2048,
+    "batch_size": 16,
+    "learning_starts": 64,
+    "gradient_updates": 1,
+    "steps_per_iteration": 64,
+    "pop_size": 2,
+    "exchange_every": 256,
+    "warmup_iterations": 1,
+    "evolutionary_iterations": 1,
+    "num_sample_w": 2,
+    "max_support": 8,
+    "epsilon_decay_steps": 400,
+    "homotopy_decay_steps": 400,
+    "n_critics": 2,
+    "update_passes": 1,
+    "num_minibatches": 2,
+    "update_epochs": 2,
+    "mc_k": 4,
+    "set_capacity": 8,
+}
+_TRAIN_CAPS = {
+    "total_timesteps": 600,
+    "timesteps_per_iter": 300,
+    "eval_freq": 300,
+    "eval_mo_freq": 300,
+    "num_eval_weights_for_front": 4,
+    "num_eval_episodes_for_front": 1,
+    "max_iterations": 1,
+    "checkpoints_freq": 300,
+}
+_TRAIN_SETS = {
+    "eval_max_steps": 40,
+}
+
+
+def _shrink_cfg(cfg):
+    if not dataclasses.is_dataclass(cfg):
+        return cfg
+    updates = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(v):
+            updates[f.name] = _shrink_cfg(v)
+        elif f.name in _CFG_CAPS and isinstance(v, int):
+            updates[f.name] = min(v, _CFG_CAPS[f.name])
+        elif f.name == "hidden" and isinstance(v, tuple):
+            updates[f.name] = tuple(min(h, 32) for h in v[:2])
+        elif f.name == "chunk_len" and isinstance(v, int):
+            updates[f.name] = min(v, 64)
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=[p.stem for p in EXAMPLES])
-def test_example_imports(path):
-    spec = importlib.util.spec_from_file_location(path.stem, path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+def test_example_runs(path, monkeypatch, tmp_path):
+    import morl_baselines_tpu.agents as agents_mod
+
+    seen = set()
+    for name in dir(agents_mod):
+        cls = getattr(agents_mod, name)
+        if not (isinstance(cls, type) and hasattr(cls, "train") and hasattr(cls, "__init__")):
+            continue
+        if cls in seen:
+            continue
+        seen.add(cls)
+
+        def make_wrapped(c):
+            orig_init = c.__init__
+            orig_train = c.train
+
+            def init(self, *a, **kw):
+                # shrink any config dataclass wherever it appears in the call
+                a = tuple(_shrink_cfg(x) for x in a)
+                kw = {k: _shrink_cfg(v) for k, v in kw.items()}
+                return orig_init(self, *a, **kw)
+
+            def train(self, *a, **kw):
+                if a:  # total_timesteps passed positionally
+                    a = (min(a[0], _TRAIN_CAPS["total_timesteps"]),) + a[1:]
+                for k, cap in _TRAIN_CAPS.items():
+                    if k in kw and isinstance(kw[k], int):
+                        kw[k] = min(kw[k], cap)
+                for k, v in _TRAIN_SETS.items():
+                    if k in kw:
+                        kw[k] = v
+                kw.setdefault("eval_max_steps", 40)
+                try:
+                    return orig_train(self, *a, **kw)
+                except TypeError:
+                    kw.pop("eval_max_steps", None)
+                    return orig_train(self, *a, **kw)
+
+            return init, train
+
+        init, train = make_wrapped(cls)
+        monkeypatch.setattr(cls, "__init__", init)
+        monkeypatch.setattr(cls, "train", train)
+
+    # PQL takes (env, ref_point, config): the generic wrapper above handles it
+    # because config flows through kwargs/positional unchanged when None.
+    runpy.run_path(str(path), run_name="__main__")

@@ -153,3 +153,20 @@ def test_visualize_eval_and_reset_wandb_env(tmp_path):
     reset_wandb_env()
     assert "WANDB_RUN_ID" not in os.environ
     assert os.environ.pop("WANDB_PROJECT") == "keepme"
+
+
+def test_sweep_vmapped_seeds():
+    """Seed-vmapped sweep trial: all seeds train in one compiled program and
+    produce per-seed hypervolumes (VERDICT round-1 weak #10)."""
+    from morl_baselines_tpu.cli.sweep import run_trial_vmapped
+
+    score, scores = run_trial_vmapped(
+        "envelope", "deep-sea-treasure-v0",
+        ref_point=[0.0, -50.0],
+        overrides={"num_envs": 4, "buffer_size": 512, "batch_size": 16,
+                   "hidden": (32, 32), "learning_starts": 64},
+        num_seeds=3, num_timesteps=1000,
+    )
+    assert len(scores) == 3
+    assert all(s >= 0.0 for s in scores)
+    assert score == sum(scores) / 3

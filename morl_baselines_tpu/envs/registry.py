@@ -75,10 +75,12 @@ ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
 # Envs whose exact discounted Pareto front is known (reference
 # common/experiments.py:45-52).
 ENVS_WITH_KNOWN_PARETO_FRONT = [
-    "deep-sea-treasure-v0",
     "deep-sea-treasure-concave-v0",
-    "fruit-tree-v0",
+    "deep-sea-treasure-v0",
+    "minecart-v0",
+    "minecart-deterministic-v0",
     "resource-gathering-v0",
+    "fruit-tree-v0",
 ]
 
 

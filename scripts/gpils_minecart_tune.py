@@ -48,16 +48,45 @@ VARIANTS = {
     "D": dict(num_envs=128, gradient_updates=16, batch_size=512, final_epsilon=0.1,
               epsilon_decay_steps=8_000, target_net_update_freq=200, max_support=16,
               buffer_size=2_500_000),
+    # E: update-count matched to the reference operating point (reference
+    # examples/gpi_pd_minecart.py trains 150k serial steps x g~10 updates/step
+    # = ~1.5M gradient updates at batch 128, per=False for GPI-LS): at 64 envs
+    # x 2.5M steps, 32 updates/iteration gives 1.25M updates.  Uniform buffer
+    # (the reference GPI-LS has per=gpi_pd=False), target sync every ~320
+    # gradient steps (reference 200).
+    "E": dict(num_envs=64, gradient_updates=32, batch_size=128, final_epsilon=0.05,
+              epsilon_decay_steps=15_000, target_net_update_freq=10, max_support=16,
+              per=False, buffer_size=2_500_000),
+    # F: reference-shaped budget: 150k TOTAL steps at 4 envs (37.5k serial
+    # steps/env, epsilon decays over the same 1/3-of-run fraction as the
+    # reference's 50k/150k), 16 updates/iteration = 4 per env-step.
+    "F": dict(num_envs=4, gradient_updates=16, batch_size=128, final_epsilon=0.05,
+              epsilon_decay_steps=12_000, target_net_update_freq=50, max_support=16,
+              per=False, buffer_size=200_000),
 }
+TOTALS = {"F": 150_000}
 
 
-def run(name: str, seed: int = 0, total: int = 2_500_000) -> dict:
+def buffer_diagnostic(state, agent) -> dict:
+    """Separate exploration failure from propagation failure: how many stored
+    transitions actually sold ore (reward in the first two objectives)?"""
+    import numpy as np
+
+    buf = state.buffer
+    size = int(buf.size) if hasattr(buf, "size") else int(buf.pos)
+    rew = np.asarray(buf.data.reward[:size]) if hasattr(buf, "data") else np.asarray(buf.reward[:size])
+    sales = int((rew[:, :2].sum(axis=1) > 0).sum())
+    return dict(buffer_size=size, sale_rows=sales)
+
+
+def run(name: str, seed: int = 0, total: int | None = None) -> dict:
+    total = total or TOTALS.get(name, 2_500_000)
     env = make("minecart-v0")
     cfg = GPILSConfig(gamma=0.98, learning_starts=2048, seed=seed, **VARIANTS[name])
     agent = GPILS(env, cfg, log=True)
     ref = np.array([0.0, 0.0, -200.0])
     t0 = time.time()
-    agent.train(
+    state = agent.train(
         total_timesteps=total,
         ref_point=ref,
         known_pareto_front=env.pareto_front(0.98),
@@ -71,8 +100,10 @@ def run(name: str, seed: int = 0, total: int = 2_500_000) -> dict:
         variant=name,
         seed=seed,
         wall=round(wall, 1),
+        total=total,
         ccs=ccs,
         metrics={k: float(v) for k, v in agent._last_metrics.items()},
+        **buffer_diagnostic(state, agent),
     )
     print(json.dumps(rec), flush=True)
     return rec

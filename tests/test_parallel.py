@@ -109,3 +109,58 @@ def test_vectorized_pgmorl_population():
     assert len(agent.archive) >= 1
     assert agent._last_metrics["eval/hypervolume"] >= 0.0
     assert len(agent._states) == 3
+
+
+# --------------------------------------------------------------------------
+# Vectorized-vs-sequential population fidelity (VERDICT round-1 next-step #9):
+# the TPU-native cooperation re-designs (one vmap over members, jnp.roll
+# neighbor-batch exchange) must reach final front quality comparable to the
+# sequential reference-semantics mode at the same budget.
+
+
+def _morld_final_hv(vectorized: bool) -> float:
+    from morl_baselines_tpu.agents.morld import MORLD, MORLDConfig
+    from morl_baselines_tpu.agents.mosac import MOSACConfig
+    from morl_baselines_tpu.core.indicators import hypervolume
+    from morl_baselines_tpu.envs import make
+
+    env = make("mo-mountaincarcontinuous-v0")
+    cfg = MORLDConfig(
+        pop_size=3, exchange_every=64, update_passes=2, vectorized=vectorized,
+        sac=MOSACConfig(num_envs=4, learning_starts=32, batch_size=32, buffer_size=2048, hidden=(32, 32)),
+    )
+    agent = MORLD(env, cfg)
+    agent.train(total_timesteps=768, ref_point=np.array([-120.0, -120.0]))
+    return float(hypervolume(agent.archive.front, np.array([-120.0, -120.0])))
+
+
+def _pgmorl_final_hv(vectorized: bool) -> float:
+    from morl_baselines_tpu.agents.moppo import MOPPOConfig
+    from morl_baselines_tpu.agents.pgmorl import PGMORL, PGMORLConfig
+    from morl_baselines_tpu.core.indicators import hypervolume
+    from morl_baselines_tpu.envs import make
+
+    env = make("mo-mountaincarcontinuous-v0")
+    cfg = PGMORLConfig(
+        pop_size=3, warmup_iterations=1, evolutionary_iterations=1, vectorized=vectorized,
+        ppo=MOPPOConfig(num_envs=4, steps_per_iteration=128, num_minibatches=2, update_epochs=2, hidden=(32, 32)),
+    )
+    agent = PGMORL(env, origin=np.array([-120.0, -120.0]), config=cfg)
+    agent.train(total_timesteps=1152, ref_point=np.array([-120.0, -120.0]))
+    return float(hypervolume(agent.archive.front, np.array([-120.0, -120.0])))
+
+
+def test_morld_vectorized_matches_sequential_front_quality():
+    hv_seq = _morld_final_hv(vectorized=False)
+    hv_vec = _morld_final_hv(vectorized=True)
+    assert hv_seq > 0.0 and hv_vec > 0.0
+    # same budget, different (but fixed) RNG streams: front quality must be
+    # in the same regime, not bit-identical
+    assert hv_vec >= 0.5 * hv_seq, (hv_vec, hv_seq)
+
+
+def test_pgmorl_vectorized_matches_sequential_front_quality():
+    hv_seq = _pgmorl_final_hv(vectorized=False)
+    hv_vec = _pgmorl_final_hv(vectorized=True)
+    assert hv_seq > 0.0 and hv_vec > 0.0
+    assert hv_vec >= 0.5 * hv_seq, (hv_vec, hv_seq)

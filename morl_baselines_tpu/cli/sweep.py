@@ -9,10 +9,11 @@ twist is that the reference's process-level seed parallelism becomes a
 seeds at once) for agents exposing the pure ``init_state``/``train_segment``
 protocol — everything else falls back to sequential seeds.
 
-Scheduling: plain random search (default) or successive halving
-(``--halving``): sample N configs, train all at budget/eta^(rungs-1),
-promote the top 1/eta per rung — the standard bandit approximation of the
-reference's bayes sweeps.
+Scheduling: plain random search (default), successive halving
+(``--halving``: sample N configs, train all at budget/eta^(rungs-1),
+promote the top 1/eta per rung), or TPE (``--tpe``: tree-structured Parzen
+estimator suggestions — the same model family wandb's bayes sweeps use, so
+this is the direct stand-in for the reference's bayes search objective).
 
 Search-space spec (JSON): {"param": {"values": [...]}} or
 {"param": {"min": lo, "max": hi, "log": true}}.
@@ -49,6 +50,68 @@ def sample_config(space: dict, rng: np.random.Generator) -> dict:
         else:
             v = float(rng.uniform(spec["min"], spec["max"]))
         out[k] = v
+    return out
+
+
+def _to_unit(v, spec):
+    """Map a sampled value into the TPE modeling space ([0,1] for numeric)."""
+    if "values" in spec:
+        return spec["values"].index(v)
+    lo, hi = spec["min"], spec["max"]
+    if spec.get("log"):
+        return (np.log(v) - np.log(lo)) / (np.log(hi) - np.log(lo))
+    return (v - lo) / (hi - lo)
+
+
+def _from_unit(u, spec):
+    if "values" in spec:
+        return spec["values"][int(u)]
+    lo, hi = spec["min"], spec["max"]
+    if spec.get("log"):
+        return float(np.exp(np.log(lo) + u * (np.log(hi) - np.log(lo))))
+    return float(lo + u * (hi - lo))
+
+
+def tpe_suggest(space: dict, history: list, rng: np.random.Generator,
+                gamma: float = 0.25, n_candidates: int = 24, n_init: int = 4) -> dict:
+    """Tree-structured Parzen Estimator suggestion (independent per-param),
+    approximating the reference's wandb bayes sweeps
+    (launch_sweep.py:34-188) without a wandb server.
+
+    Split past trials into good (top gamma fraction by score) and bad; model
+    each set with a Parzen mixture per parameter (Gaussian kernels on the
+    unit-mapped value; smoothed histogram for categoricals); return the
+    candidate maximizing the density ratio l_good/g_bad.
+    """
+    if len(history) < n_init:
+        return sample_config(space, rng)
+    hist = sorted(history, key=lambda t: -t[1])
+    n_good = max(1, int(np.ceil(gamma * len(hist))))
+    good, bad = hist[:n_good], hist[n_good:] or hist[-1:]
+    out = {}
+    for k, spec in space.items():
+        gv = np.array([_to_unit(t[0][k], spec) for t in good], dtype=np.float64)
+        bv = np.array([_to_unit(t[0][k], spec) for t in bad], dtype=np.float64)
+        if "values" in spec:
+            m = len(spec["values"])
+            lg = np.bincount(gv.astype(int), minlength=m) + 1.0
+            lb = np.bincount(bv.astype(int), minlength=m) + 1.0
+            ratio = (lg / lg.sum()) / (lb / lb.sum())
+            # sample from the good distribution, break ties by the ratio
+            cand = rng.choice(m, size=min(n_candidates, 4 * m), p=lg / lg.sum())
+            out[k] = _from_unit(cand[np.argmax(ratio[cand])], spec)
+        else:
+            bw_g = max(1.0 / max(len(gv), 1), gv.std() + 1e-3)
+            bw_b = max(1.0 / max(len(bv), 1), bv.std() + 1e-3)
+            cand = np.clip(gv[rng.integers(0, len(gv), n_candidates)]
+                           + rng.normal(0, bw_g, n_candidates), 0.0, 1.0)
+
+            def parzen(x, centers, bw):
+                z = (x[:, None] - centers[None, :]) / bw
+                return np.exp(-0.5 * z * z).mean(axis=1) / bw
+
+            score = np.log(parzen(cand, gv, bw_g) + 1e-12) - np.log(parzen(cand, bv, bw_b) + 1e-12)
+            out[k] = _from_unit(float(cand[np.argmax(score)]), spec)
     return out
 
 
@@ -137,6 +200,7 @@ def main(argv=None):
     parser.add_argument("--halving", action="store_true", help="successive-halving schedule")
     parser.add_argument("--eta", type=int, default=2, help="halving promotion factor")
     parser.add_argument("--rungs", type=int, default=3, help="halving rungs")
+    parser.add_argument("--tpe", action="store_true", help="TPE (bayes-like) suggestions instead of random")
     args = parser.parse_args(argv)
 
     space = json.loads(args.space)
@@ -178,9 +242,11 @@ def main(argv=None):
                 if len(pool) == 1 and rung < args.rungs - 1:
                     continue
         else:
+            history: list = []
             for trial in range(args.num_trials):
-                overrides = sample_config(space, rng)
+                overrides = tpe_suggest(space, history, rng) if args.tpe else sample_config(space, rng)
                 score = evaluate(trial, overrides, args.num_timesteps, f)
+                history.append((overrides, score))
                 if score > best[0]:
                     best = (score, overrides)
     print("best:", best)

@@ -170,3 +170,32 @@ def test_sweep_vmapped_seeds():
     assert len(scores) == 3
     assert all(s >= 0.0 for s in scores)
     assert score == sum(scores) / 3
+
+
+def test_tpe_suggest_concentrates_on_good_region():
+    """TPE (the bayes-sweep stand-in) proposes from the good region of the
+    history: high scores at high lr / batch 128 must dominate suggestions."""
+    import numpy as np
+
+    from morl_baselines_tpu.cli.sweep import tpe_suggest
+
+    rng = np.random.default_rng(0)
+    # numeric (log) param: good region is lr > 1e-2
+    lr_space = {"learning_rate": {"min": 1e-4, "max": 1e-1, "log": True}}
+    lr_hist = []
+    for _ in range(30):
+        lr = float(np.exp(rng.uniform(np.log(1e-4), np.log(1e-1))))
+        lr_hist.append(({"learning_rate": lr}, 1.0 if lr > 1e-2 else 0.0))
+    lrs = np.array([tpe_suggest(lr_space, lr_hist, rng)["learning_rate"] for _ in range(20)])
+    assert (lrs > 1e-2).mean() >= 0.7, lrs
+    # categorical param: good region is batch_size == 128
+    bs_space = {"batch_size": {"values": [32, 64, 128]}}
+    bs_hist = []
+    for _ in range(30):
+        bs = [32, 64, 128][rng.integers(0, 3)]
+        bs_hist.append(({"batch_size": bs}, 0.5 if bs == 128 else 0.0))
+    bss = np.array([tpe_suggest(bs_space, bs_hist, rng)["batch_size"] for _ in range(20)])
+    assert (bss == 128).mean() >= 0.7, bss
+    # cold start falls back to random sampling within bounds
+    cold = tpe_suggest(lr_space | bs_space, [], rng)
+    assert 1e-4 <= cold["learning_rate"] <= 1e-1 and cold["batch_size"] in (32, 64, 128)

@@ -196,11 +196,15 @@ def main() -> None:
     ]
     if "--headline-only" in sys.argv:
         suite = [bench_envelope_minecart]
+    failures = 0
     for fn in suite:
         try:
             fn(on_accel)
         except Exception:  # a broken workload must not mask the others
+            failures += 1
             traceback.print_exc(file=sys.stderr)
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,7 @@ class EnvelopeConfig:
     min_priority: float = 0.01
     hidden: tuple = (256, 256, 256, 256)
     bf16: bool = False  # bfloat16 compute in the Q-net GEMMs (params stay f32)
+    image_shape: tuple | None = None  # (k, H, W): NatureCNN trunk on flat image obs
     seed: int = 0
 
 
@@ -91,6 +92,7 @@ class Envelope(MOAgentBase):
             reward_dim=env.reward_dim,
             hidden=config.hidden,
             dtype=jnp.bfloat16 if config.bf16 else None,
+            image_shape=config.image_shape,
         )
 
     # ------------------------------------------------------------------ init

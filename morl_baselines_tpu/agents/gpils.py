@@ -76,6 +76,7 @@ class GPILSConfig:
     use_gpi: bool = True
     gpi_type: str = "gpi"  # "gpi" | "ugpi" (pessimistic, reference gpi_ls_jax.py:534)
     pessimism: float = 0.95
+    bf16_act: bool = False  # bfloat16 GEMMs in the (N x M) GPI action forward only
     seed: int = 0
 
 
@@ -106,6 +107,23 @@ class GPILS(MOAgentBase):
             hidden=config.hidden,
             dropout_rate=config.dropout_rate,
             use_layernorm=config.use_layernorm,
+        )
+        # same params, bf16 compute — used only for action selection (the
+        # per-step (N*M)-row forward), never for TD/update math: Q argmax
+        # ranking tolerates bf16; TD targets stay f32.
+        self.q_net_act = (
+            ensemble(
+                WeightConditionedQNet,
+                config.n_critics,
+                num_actions=env.num_actions,
+                reward_dim=env.reward_dim,
+                hidden=config.hidden,
+                dropout_rate=config.dropout_rate,
+                use_layernorm=config.use_layernorm,
+                dtype=jnp.bfloat16,
+            )
+            if config.bf16_act
+            else self.q_net
         )
 
     # ------------------------------------------------------------------ init
@@ -157,8 +175,11 @@ class GPILS(MOAgentBase):
     # ------------------------------------------------------------------- act
 
     def _q_values(self, params, obs, w, key=None):
-        """(n_critics, B, A, d) forward; deterministic (no dropout) for acting."""
-        return self.q_net.apply(params, obs, w, True)
+        """(n_critics, B, A, d) forward; deterministic (no dropout) for acting.
+
+        Runs through ``q_net_act`` (bf16 GEMMs when cfg.bf16_act) — action
+        selection only; update/TD paths call ``q_net`` directly in f32."""
+        return self.q_net_act.apply(params, obs, w, True)
 
     def _gpi_actions(self, params, obs, w, support, support_size):
         """Batched GPI action: argmax over valid support policies of max_a w·Q.

@@ -51,6 +51,16 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     env = make(args.env_id)
+    # env-specific wrapper stacks, mirroring the reference CLI
+    # (launch_experiment.py:155-180): highway-class envs flatten their
+    # kinematics obs; pixel envs get the mario CNN stack (wrap_pixel_stack is
+    # already applied by the registry's -stack id) and the matching CNN trunk.
+    if "highway" in args.env_id:
+        from ..envs.wrappers import FlattenObservation
+
+        env = FlattenObservation(env)
+    if "pixel-stack" in args.env_id:
+        args.init_hyperparams.setdefault("image_shape", (4, 84, 84))
     algo_cls = ALGOS[args.algo]
     ref_point = np.asarray(args.ref_point, dtype=np.float64)
 

@@ -1,6 +1,17 @@
 """Pure-JAX multi-objective environments (device-resident MO-Gymnasium parity)."""
 
-from .base import Box, Discrete, MOEnv, StepOut
+from .base import ArrayBox, Box, Discrete, MOEnv, StepOut
+from .highway import MOHighway
+from .pixel import PixelDST
+from .wrappers import (
+    FlattenObservation,
+    FrameStackObservation,
+    GrayscaleObservation,
+    MOMaxAndSkipObservation,
+    ResizeObservation,
+    TimeLimit,
+    wrap_pixel_stack,
+)
 from .breakable_bottles import BreakableBottles
 from .dst import DeepSeaTreasure
 from .four_room import FourRoom
@@ -21,7 +32,17 @@ from .vector import (
 )
 
 __all__ = [
+    "ArrayBox",
     "Box",
+    "FlattenObservation",
+    "FrameStackObservation",
+    "GrayscaleObservation",
+    "MOHighway",
+    "MOMaxAndSkipObservation",
+    "PixelDST",
+    "ResizeObservation",
+    "TimeLimit",
+    "wrap_pixel_stack",
     "Discrete",
     "DeepSeaTreasure",
     "ENVS_WITH_KNOWN_PARETO_FRONT",

@@ -51,6 +51,20 @@ class Box:
         return jax.random.uniform(key, lo.shape, minval=lo, maxval=hi)
 
 
+@dataclass(frozen=True)
+class ArrayBox:
+    """n-D box with scalar bounds (image observations, stacked frames)."""
+
+    low: float
+    high: float
+    shape: Tuple[int, ...]
+    dtype: Any = np.uint8
+
+    def sample(self, key: jax.Array) -> jnp.ndarray:
+        u = jax.random.uniform(key, self.shape, minval=self.low, maxval=self.high)
+        return u.astype(self.dtype)
+
+
 class StepOut(NamedTuple):
     state: Any
     obs: jnp.ndarray

@@ -42,6 +42,20 @@ def _planar_env(maker):
     return build
 
 
+def _highway_env(**kw):
+    from .highway import MOHighway
+
+    return MOHighway(**kw)
+
+
+def _pixel_env(stack: bool, **kw):
+    from .pixel import PixelDST
+    from .wrappers import wrap_pixel_stack
+
+    env = PixelDST(**kw)
+    return wrap_pixel_stack(env) if stack else env
+
+
 ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     "deep-sea-treasure-v0": lambda **kw: DeepSeaTreasure(dst_map="convex", **kw),
     "deep-sea-treasure-concave-v0": lambda **kw: DeepSeaTreasure(dst_map="concave", **kw),
@@ -65,11 +79,18 @@ ENV_REGISTRY: Dict[str, Callable[..., MOEnv]] = {
     "mo-halfcheetah-v4": _mujoco_env("halfcheetah"),
     "mo-reacher-v4": _mujoco_env("reacher"),
     "mo-reacher-v5": _mujoco_env("reacher"),
+    # pixel-observation env + the reference's mario CNN wrapper stack
+    # (launch_experiment.py:158-180) applied jit-side (envs/wrappers.py)
+    "deep-sea-treasure-pixel-v0": lambda **kw: _pixel_env(stack=False, **kw),
+    "deep-sea-treasure-pixel-stack-v0": lambda **kw: _pixel_env(stack=True, **kw),
     # device-resident pure-JAX MuJoCo-class locomotion (envs/planar.py):
     # same obs/action/reward interface as the host adapter, thousands of
     # envs per chip — the performance path for the continuous BASELINE configs
     "mo-hopper-jx-v5": _planar_env("hopper"),
     "mo-halfcheetah-jx-v5": _planar_env("halfcheetah"),
+    # pure-JAX highway driving (mo-highway-v0 re-design, envs/highway.py)
+    "mo-highway-jx-v0": _highway_env,
+    "mo-highway-fast-jx-v0": lambda **kw: _highway_env(n_other=6, **kw),
 }
 
 # Envs whose exact discounted Pareto front is known (reference

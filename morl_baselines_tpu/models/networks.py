@@ -178,32 +178,53 @@ class WeightConditionedQNet(nn.Module):
     hidden: Sequence[int] = (256, 256, 256, 256)
     dropout_rate: float = 0.0
     use_layernorm: bool = False
+    # compute dtype for the head GEMMs (params stay f32).  The GPI action
+    # forward runs this net over (num_envs x support) rows every env step —
+    # the hot op of GPI-LS — where bf16 doubles MXU throughput; the Q-values
+    # are cast back to f32 before the argmax/TD math.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, obs, w, deterministic: bool = True):
         h = self.hidden[0]
-        sf = MLP(hidden=(h,), final_activation=False)(obs)
-        wf = MLP(hidden=(h,), final_activation=False)(w)
+        sf = MLP(hidden=(h,), final_activation=False, dtype=self.dtype)(obs)
+        wf = MLP(hidden=(h,), final_activation=False, dtype=self.dtype)(w)
         x = sf * wf
         x = MLP(
             hidden=self.hidden[1:],
             output_dim=self.num_actions * self.reward_dim,
             dropout_rate=self.dropout_rate,
             use_layernorm=self.use_layernorm,
+            dtype=self.dtype,
         )(x, deterministic)
+        x = x.astype(jnp.float32)
         return x.reshape((*x.shape[:-1], self.num_actions, self.reward_dim))
 
 
 class EnvelopeQNet(nn.Module):
-    """Q(s, w) -> (A, d) with concat obs||w input (reference envelope.py:33-77)."""
+    """Q(s, w) -> (A, d) with concat obs||w input (reference envelope.py:33-77).
+
+    ``image_shape=(k, H, W)``: treat the flat obs as k stacked grayscale
+    frames and feed them through a NatureCNN trunk before the conditioned MLP
+    head — the reference's mario path (launch_experiment.py:158-180 stack +
+    NatureCNN networks.py:51-88).  Flat obs keep replay/batch plumbing 1-D;
+    the reshape is free under XLA.
+    """
 
     num_actions: int
     reward_dim: int
     hidden: Sequence[int] = (256, 256, 256, 256)
     dtype: Any = None
+    image_shape: tuple[int, ...] | None = None
+    cnn_features: int = 512
 
     @nn.compact
     def __call__(self, obs, w):
+        if self.image_shape is not None:
+            k, h, wd = self.image_shape
+            img = obs.reshape((*obs.shape[:-1], k, h, wd))
+            img = jnp.moveaxis(img, -3, -1)  # (..., H, W, k): frames as channels
+            obs = NatureCNN(features_dim=self.cnn_features)(img)
         x = jnp.concatenate([obs, w], axis=-1)
         x = MLP(hidden=self.hidden, output_dim=self.num_actions * self.reward_dim, dtype=self.dtype)(x)
         return x.reshape((*x.shape[:-1], self.num_actions, self.reward_dim))

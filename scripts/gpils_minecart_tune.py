@@ -111,7 +111,7 @@ def run(name: str, seed: int = 0, total: int | None = None) -> dict:
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(VARIANTS)
-    out = open("/root/repo/results/r2/gpils_minecart_tune.jsonl", "a")
+    out = open("/root/repo/results/r3/gpils_minecart_tune.jsonl", "a")
     for name in names:
         try:
             rec = run(name)

@@ -24,7 +24,7 @@ sys.path.insert(0, "/root/repo")
 
 from morl_baselines_tpu.utils.logging import MetricLogger
 
-OUT = Path("/root/repo/results/r2")
+OUT = Path("/root/repo/results/r3")
 
 
 def _logger(name: str, seed: int) -> MetricLogger:
@@ -34,9 +34,9 @@ def _logger(name: str, seed: int) -> MetricLogger:
 
 
 def moql_dst(seed: int):
-    """Reference examples/mo_q_learning_DST.py: concave map, w=(0.3,0.7), 100k steps."""
-    import jax
-
+    """Reference examples/mo_q_learning_DST.py, faithfully: concave map,
+    tchebicheff(tau=4), w=(0.3,0.7), agent gamma 0.9 (the reference example
+    keeps MOQLearning's default), CONSTANT epsilon 0.1, 100k steps."""
     from morl_baselines_tpu.agents import MOQLearning, MOQLearningConfig
     from morl_baselines_tpu.envs import make
 
@@ -45,8 +45,8 @@ def moql_dst(seed: int):
         env,
         weights=np.array([0.3, 0.7]),
         config=MOQLearningConfig(
-            gamma=0.99, initial_epsilon=1.0, final_epsilon=0.1,
-            epsilon_decay_steps=3_000, num_envs=16, seed=seed,  # per-env step clock: 100k total / 16 envs = 6.2k per-env steps
+            gamma=0.9, initial_epsilon=0.1, final_epsilon=0.1,
+            scalarization="tchebicheff", num_envs=16, seed=seed,
         ),
         log=True,
     )
@@ -82,10 +82,15 @@ def envelope_minecart(seed: int):
     agent = Envelope(
         env,
         EnvelopeConfig(
-            num_envs=64, buffer_size=200_000, batch_size=512, num_sample_w=4,
+            # buffer >= total steps: the reference example never overwrites
+            # (buffer 2e6 >> 1e5 steps, examples/envelope_minecart.py:26,44);
+            # a 200k ring at 2.5M steps evicts the rare early ore sales and
+            # seeds that explored late never learn (r2 seed0: HV ~0 all run).
+            num_envs=64, buffer_size=2_500_000, batch_size=512, num_sample_w=4,
             gamma=0.98, learning_starts=2048, gradient_updates=8,
-            # per-env step clock: 2.5M/64 envs = 39k per-env steps
-            epsilon_decay_steps=15_000, homotopy_decay_steps=15_000, per=True, seed=seed,
+            # per-env step clock: 2.5M/64 envs = 39k per-env steps; decay over
+            # half the run like the reference (50k of 100k steps)
+            epsilon_decay_steps=20_000, homotopy_decay_steps=15_000, per=True, seed=seed,
         ),
         log=True,
     )

@@ -140,6 +140,28 @@ def test_weights():
     assert np.array_equal(extrema_weights(3), np.eye(3))
 
 
+def test_equally_spaced_weights_riesz_uniformity():
+    """The s-energy optimum for dim=2 is n uniformly spaced points on the
+    segment (1,0)-(0,1) including both corners (matches pymoo 'energy' sets,
+    reference weights.py:38-49)."""
+    w = equally_spaced_weights(2, 50)
+    order = np.argsort(w[:, 0])
+    gaps = np.linalg.norm(np.diff(w[order], axis=0), axis=-1)
+    ideal = np.sqrt(2.0) / 49
+    assert gaps.min() > 0.97 * ideal and gaps.max() < 1.03 * ideal
+    assert any(np.allclose(x, [1, 0], atol=1e-6) for x in w)
+    assert any(np.allclose(x, [0, 1], atol=1e-6) for x in w)
+    # deterministic across calls (lru_cached but also re-computable)
+    equally_spaced_weights.cache_clear()
+    np.testing.assert_array_equal(w, equally_spaced_weights(2, 50))
+    # higher dims: well spread — nearest-neighbour distances nearly equal
+    w3 = equally_spaced_weights(3, 32)
+    d = np.linalg.norm(w3[:, None] - w3[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    nn = d.min(axis=1)
+    assert nn.min() > 0.85 * nn.max()
+
+
 def test_scalarization():
     r = jnp.array([1.0, 2.0])
     w = jnp.array([0.5, 0.5])

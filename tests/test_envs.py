@@ -426,3 +426,42 @@ def test_minecart_front_points_are_achievable():
     # idle policy end-point present: zero ore, idle fuel only
     idle = pf[np.isclose(ore, 0.0)]
     assert len(idle) >= 1 and np.all(idle[:, 2] < 0)
+
+
+def test_highway_env():
+    """mo-highway-jx: 3-objective rewards in range, crash terminates, the
+    keep-right policy survives the full 40-decision horizon."""
+    from morl_baselines_tpu.envs import VectorMOEnv
+
+    env = make("mo-highway-jx-v0")
+    assert env.reward_dim == 3 and env.obs_dim == 25
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (25,) and np.isfinite(np.asarray(obs)).all()
+
+    venv = VectorMOEnv(env, 8)
+    st, o = venv.reset(jax.random.key(1))
+
+    def body(carry, k):
+        st, _ = carry
+        a = jax.random.randint(k, (8,), 0, 5)
+        out = venv.step(st, a, k)
+        return (out.state, out.obs), (out.reward, out.terminated)
+
+    (_, _), (rw, term) = jax.lax.scan(body, (st, o), jax.random.split(jax.random.key(2), 120))
+    rw = np.asarray(rw)
+    assert rw[..., 0].min() >= 0.0 and rw[..., 0].max() <= 1.0  # high_speed
+    assert rw[..., 1].min() >= 0.0 and rw[..., 1].max() <= 1.0  # right_lane
+    assert set(np.unique(rw[..., 2])) <= {-1.0, 0.0}  # collision
+    assert np.asarray(term).any()  # random driving crashes
+
+    # keep-right policy: no crash over the horizon, right-lane reward ~1
+    s, _ = env.reset(jax.random.key(5))
+    tot = np.zeros(3)
+    for i in range(40):
+        out = env.step(s, jnp.int32(2), jax.random.key(i))
+        s = out.state
+        tot += np.asarray(out.reward)
+        if bool(out.terminated):
+            break
+    assert bool(out.truncated) and not bool(out.terminated)
+    assert tot[1] > 35.0 and tot[2] == 0.0

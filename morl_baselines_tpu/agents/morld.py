@@ -85,6 +85,7 @@ class MORLD(MOAgentBase):
         ref_point: np.ndarray | None = None,
         known_pareto_front: np.ndarray | None = None,
         mesh=None,
+        eval_max_steps: int | None = None,
     ):
         if self.cfg.vectorized:
             return self._train_vectorized(total_timesteps, ref_point, known_pareto_front, mesh)
@@ -135,7 +136,10 @@ class MORLD(MOAgentBase):
 
             # evaluate all policies, refresh archive (reference :306-335)
             for j, (a, s) in enumerate(zip(self.population, states)):
-                ret, disc = jax.tree.map(np.asarray, a.policy_eval(s, jax.random.key(iteration * 97 + j), 3))
+                ret, disc = jax.tree.map(
+                    np.asarray,
+                    a.policy_eval(s, jax.random.key(iteration * 97 + j), 3, max_steps=eval_max_steps),
+                )
                 evals[j] = np.asarray(disc)
                 self.archive.add((j, jax.device_get(s.actor_ts.params)), evals[j])
 

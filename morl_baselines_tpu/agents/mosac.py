@@ -252,10 +252,10 @@ class MOSAC(MOAgentBase):
         return jnp.tanh(mean[0])
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def policy_eval(self, state: MOSACState, key, rep: int = 5, w=None):
+    def policy_eval(self, state: MOSACState, key, rep: int = 5, w=None, max_steps: int | None = None):
         act = lambda obs, w_, k: self.act_eval(state.actor_ts.params, obs)
         w = self.w if w is None else w
-        return policy_evaluation(self.env, act, w, key, rep=rep, gamma=self.cfg.gamma)
+        return policy_evaluation(self.env, act, w, key, rep=rep, gamma=self.cfg.gamma, max_steps=max_steps)
 
     def make_buffer(self) -> ReplayBuffer:
         return ReplayBuffer.create(
@@ -435,10 +435,10 @@ class MOSACDiscrete(MOAgentBase):
         return jnp.argmax(self.actor.apply(params, obs[None])[0])
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def policy_eval(self, state, key, rep: int = 5, w=None):
+    def policy_eval(self, state, key, rep: int = 5, w=None, max_steps: int | None = None):
         act = lambda obs, w_, k: self.act_eval(state.actor_ts.params, obs)
         w = self.w if w is None else w
-        return policy_evaluation(self.env, act, w, key, rep=rep, gamma=self.cfg.gamma)
+        return policy_evaluation(self.env, act, w, key, rep=rep, gamma=self.cfg.gamma, max_steps=max_steps)
 
     def make_buffer(self) -> ReplayBuffer:
         return ReplayBuffer.create(self.cfg.buffer_size, obs_dim=self.obs_dim, reward_dim=self.reward_dim)

@@ -174,35 +174,35 @@ class _LunarLanderBase(MOEnv):
         x, y, angle = state.x, state.y, state.angle
 
         h = DT / SUBSTEPS
-        for _ in range(SUBSTEPS):
-            # leg spring-damper contacts (both legs, branch-free)
-            fx_c = jnp.float32(0.0)
-            fy_c = jnp.float32(0.0)
-            tau_c = jnp.float32(0.0)
+        leg_bx = jnp.array([-LEG_TIP_X, LEG_TIP_X])  # both legs vectorized
+
+        def substep(_, c):
+            # leg spring-damper contacts (both legs, branch-free) — a
+            # lax.fori_loop so the contact block compiles ONCE, not SUBSTEPS
+            # inlined copies (the unrolled version made every scan over this
+            # env a multi-minute XLA:CPU compile)
+            x, y, vx, vy, angle, omega = c
             ca, sa = jnp.cos(angle), jnp.sin(angle)
-            for sx in (-1.0, 1.0):
-                bx, by = sx * LEG_TIP_X, LEG_TIP_Y
-                rwx = ca * bx - sa * by
-                rwy = sa * bx + ca * by
-                tip_wy = y + rwy
-                depth = HELIPAD_Y - tip_wy
-                pen = jnp.maximum(depth, 0.0)
-                tip_vy = vy + omega * rwx
-                tip_vx = vx - omega * rwy
-                fn = CONTACT_K * pen - CONTACT_C * tip_vy * (pen > 0.0)
-                fn = jnp.maximum(fn, 0.0) * (pen > 0.0)
-                ft = jnp.clip(-FRICTION_C * tip_vx, -FRICTION_MU * fn, FRICTION_MU * fn)
-                fx_c = fx_c + ft
-                fy_c = fy_c + fn
-                tau_c = tau_c + rwx * fn - rwy * ft
+            rwx = ca * leg_bx - sa * LEG_TIP_Y
+            rwy = sa * leg_bx + ca * LEG_TIP_Y
+            pen = jnp.maximum(HELIPAD_Y - (y + rwy), 0.0)
+            tip_vy = vy + omega * rwx
+            tip_vx = vx - omega * rwy
+            fn = CONTACT_K * pen - CONTACT_C * tip_vy * (pen > 0.0)
+            fn = jnp.maximum(fn, 0.0) * (pen > 0.0)
+            ft = jnp.clip(-FRICTION_C * tip_vx, -FRICTION_MU * fn, FRICTION_MU * fn)
+            fx_c = jnp.sum(ft)
+            fy_c = jnp.sum(fn)
+            tau_c = jnp.sum(rwx * fn - rwy * ft)
             vx = vx + h * fx_c / MASS
             vy = vy + h * (GRAVITY + fy_c / MASS)
             omega = omega + h * tau_c / INERTIA
             omega = omega * (1.0 - 0.05 * h)  # Box2D angular damping analog
-            x = x + h * vx
-            y = y + h * vy
-            angle = angle + h * omega
+            return (x + h * vx, y + h * vy, vx, vy, angle + h * omega, omega)
 
+        x, y, vx, vy, angle, omega = jax.lax.fori_loop(
+            0, SUBSTEPS, substep, (x, y, vx, vy, angle, omega)
+        )
         return LLState(x, y, vx, vy, angle, omega, state.prev_shaping, state.t + 1)
 
     def _finish(self, state: LLState, m_power, s_power) -> StepOut:

@@ -75,6 +75,10 @@ def bench_gpils_minecart(on_accel: bool) -> None:
         learning_starts=num_envs,
         gradient_updates=10 if on_accel else 1,
         max_support=16,
+        # bf16 GEMMs in the action-selection forward only (+29% on the real
+        # chip, scripts/bench_gpils_ab.py); TD/update math stays f32 and
+        # GPI-LS/DST reaches the same HV 626.4 with it on (results/r3).
+        bf16_act=on_accel,
     )
     agent = GPILS(env, cfg)
     state = agent.init_state(jax.random.key(0))

@@ -155,12 +155,44 @@ def gpils_minecart(seed: int, variant: dict | None = None):
                 metrics={k: float(v) for k, v in agent._last_metrics.items()})
 
 
+def gpipd_minecart(seed: int):
+    """GPI-PD (dyna + PER) on minecart at the reference example's budget shape
+    (150k steps, examples/gpi_pd_minecart.py: gpi_pd=True, dyna=True,
+    per=True, buffer 2e5 >= steps), vectorized at 16 envs."""
+    from morl_baselines_tpu.agents import GPIPD, GPIPDConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("minecart-v0")
+    agent = GPIPD(
+        env,
+        GPIPDConfig(
+            num_envs=16, gradient_updates=16, batch_size=128, buffer_size=200_000,
+            final_epsilon=0.05, epsilon_decay_steps=3_000,  # 50k/150k of the run, per-env clock
+            target_net_update_freq=100, max_support=16, gamma=0.98,
+            learning_starts=512, seed=seed,
+        ),
+        log=True,
+    )
+    agent.logger = _logger("gpipd_minecart", seed)
+    agent.train(
+        total_timesteps=150_000,
+        ref_point=np.array([0.0, 0.0, -200.0]),
+        known_pareto_front=env.pareto_front(0.98),
+        timesteps_per_iter=10_000,
+        num_eval_weights_for_front=32,
+        eval_max_steps=400,
+    )
+    return dict(ccs=[list(map(float, v)) for v in agent.ccs],
+                metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
 CONFIGS = dict(
     moql_dst=moql_dst,
     eupg_fishwood=eupg_fishwood,
     envelope_minecart=envelope_minecart,
     gpils_dst=gpils_dst,
     gpils_minecart=gpils_minecart,
+    gpipd_minecart=gpipd_minecart,
 )
 
 

@@ -11,8 +11,17 @@ The leaf nutrient table in MO-Gymnasium is a hard-coded literal originally
 *randomly generated on the positive part of a 6-sphere* (Yang et al. app. C);
 we reproduce that construction deterministically from a fixed seed rather
 than copying the literal — every leaf value is non-dominated by construction
-after normalization.  ``pareto_front(gamma)`` is computed from our table, so
-IGD/MUL are self-consistent.
+after normalization.
+
+``pareto_front(gamma)`` is **exact for this env**: every policy reaches
+exactly one leaf after ``depth`` steps and earns that leaf's vector
+discounted by ``gamma**(depth-1)``, so the achievable return set is exactly
+the discounted leaf table and the front is its non-dominated subset.  IGD/MUL
+computed against it are therefore exact.  The one remaining caveat is
+cross-framework: published MO-Gymnasium fruit-tree curves use their specific
+table literal (not in this image), so absolute HV numbers are not comparable
+across the two tables even though both tables are draws from the same
+construction — all within-framework comparisons and metric semantics are.
 """
 
 from __future__ import annotations

@@ -7,6 +7,7 @@ from .eupg import EUPG, EUPGConfig
 from .gpils import GPILS, GPILSConfig
 from .gpils_continuous import GPILSContinuous, GPILSContinuousConfig
 from .gpipd import GPIPD, GPIPDConfig
+from .gpipd_continuous import GPIPDContinuous, GPIPDContinuousConfig
 from .ipro import IPRO, IPRO2D, IPROConfig
 from .lcn import LCN, LCNConfig
 from .moppo import MOPPO, MOPPOConfig
@@ -32,6 +33,8 @@ __all__ = [
     "GPILSContinuousConfig",
     "GPIPD",
     "GPIPDConfig",
+    "GPIPDContinuous",
+    "GPIPDContinuousConfig",
     "IPRO",
     "IPRO2D",
     "IPROConfig",

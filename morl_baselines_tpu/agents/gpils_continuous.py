@@ -271,7 +271,11 @@ class GPILSContinuous(MOAgentBase):
             if cfg.use_batch_renorm
             else critic_ts.target_batch_stats,
         )
-        return s._replace(actor_ts=actor_ts, critic_ts=critic_ts)
+        # w-scalarized TD error per row — PER priorities in GPIPDContinuous
+        # (reference gpi_pd_continuous_action.py:405-420)
+        q_pred = self._critic_fwd(s.critic_ts, batch.obs, batch.action, w)  # (C, B, d)
+        td_w = jnp.abs(jnp.einsum("cbd,bd->cb", q_pred - target[None], w)).mean(axis=0)
+        return s._replace(actor_ts=actor_ts, critic_ts=critic_ts), td_w
 
     # ---------------------------------------------------------- train segment
 
@@ -316,7 +320,8 @@ class GPILSContinuous(MOAgentBase):
                     w1 = s3.task_w[jax.random.randint(kw1, (half,), 0, cfg.num_envs)]
                     sidx = jax.random.randint(kw2, (cfg.batch_size - half,), 0, s3.support_size)
                     w = jnp.concatenate([w1, s3.support[sidx]], axis=0)
-                    return self._update(s3, batch, w, ku), None
+                    s3, _td = self._update(s3, batch, w, ku)
+                    return s3, None
 
                 s2, _ = jax.lax.scan(one, s2, jax.random.split(k_upd, cfg.gradient_updates))
                 return s2

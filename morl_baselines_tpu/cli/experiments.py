@@ -25,6 +25,7 @@ from ..agents import (
     PQL,
     Envelope,
     GPILSContinuous,
+    GPIPDContinuous,
 )
 from ..envs.registry import ENVS_WITH_KNOWN_PARETO_FRONT
 
@@ -34,6 +35,7 @@ ALGOS: Dict[str, Any] = {
     "gpi_pd_discrete": GPIPD,
     "gpi_ls_discrete": GPILS,
     "gpi_ls_continuous": GPILSContinuous,
+    "gpi_pd_continuous": GPIPDContinuous,
     "envelope": Envelope,
     "pgmorl": PGMORL,
     "capql": CAPQL,

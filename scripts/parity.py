@@ -14,9 +14,13 @@ Configs: moql_dst eupg_fishwood envelope_minecart gpils_dst gpils_minecart
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
+
+# PARITY_SMOKE=1 shrinks budgets ~100x for a CPU API-check run (no learning).
+SMOKE = bool(int(os.environ.get("PARITY_SMOKE", "0")))
 
 import numpy as np
 
@@ -24,7 +28,7 @@ sys.path.insert(0, "/root/repo")
 
 from morl_baselines_tpu.utils.logging import MetricLogger
 
-OUT = Path("/root/repo/results/r3")
+OUT = Path("/tmp/parity_smoke") if SMOKE else Path("/root/repo/results/r3")
 
 
 def _logger(name: str, seed: int) -> MetricLogger:
@@ -186,6 +190,96 @@ def gpipd_minecart(seed: int):
                 metrics={k: float(v) for k, v in agent._last_metrics.items()})
 
 
+def gpils_cont_hopper(seed: int):
+    """BASELINE config 4: continuous GPI-LS on the device-resident planar
+    hopper at the reference example's budget shape (reference
+    examples/gpi_pd_hopper.py: 10 x 15k-step iterations, buffer 4e5 >= steps,
+    batch 128, 500-step episode cap).  32 envs x 32 updates/iter keeps the
+    reference's 1-gradient-update-per-env-step ratio."""
+    from morl_baselines_tpu.agents import GPILSContinuous, GPILSContinuousConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("mo-hopper-jx-v5", max_episode_steps=500)
+    agent = GPILSContinuous(
+        env,
+        GPILSContinuousConfig(
+            num_envs=32, gradient_updates=32, batch_size=128, buffer_size=400_000,
+            learning_starts=1_000, gamma=0.99, seed=seed,
+        ),
+        log=True,
+    )
+    agent.logger = _logger("gpils_cont_hopper", seed)
+    agent.train(
+        total_timesteps=1_500 if SMOKE else 150_000,
+        ref_point=np.array([-100.0, -100.0, -100.0]),
+        timesteps_per_iter=500 if SMOKE else 15_000,
+        num_eval_weights_for_front=32,
+        eval_max_steps=50 if SMOKE else 500,
+    )
+    return dict(ccs=[list(map(float, v)) for v in agent.ccs],
+                metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
+def pgmorl_halfcheetah(seed: int):
+    """BASELINE config 5a: PGMORL population on device-resident planar
+    halfcheetah, vectorized (all 6 PPO workers in one vmapped program), at the
+    reference example's shape (examples/pgmorl_halfcheetah.py: pop 6,
+    warmup 80, evolutionary 20, origin (0,-5), 5M steps)."""
+    from morl_baselines_tpu.agents import PGMORL, PGMORLConfig
+    from morl_baselines_tpu.agents.moppo import MOPPOConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("mo-halfcheetah-jx-v5")
+    agent = PGMORL(
+        env,
+        origin=np.array([0.0, -5.0]),
+        config=PGMORLConfig(
+            pop_size=6, warmup_iterations=2 if SMOKE else 80, evolutionary_iterations=20,
+            ppo=MOPPOConfig(num_envs=4 if SMOKE else 32, steps_per_iteration=256 if SMOKE else 2048,
+                            gamma=0.995, seed=seed),
+            vectorized=True, seed=seed,
+        ),
+        log=True,
+    )
+    agent.logger = _logger("pgmorl_halfcheetah", seed)
+    agent.train(
+        total_timesteps=3_000 if SMOKE else 5_000_000,
+        ref_point=np.array([-100.0, -100.0]),
+    )
+    return dict(front=[list(map(float, v)) for v in agent.archive.evaluations],
+                metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
+def morld_halfcheetah(seed: int):
+    """BASELINE config 5b: MORL/D population on planar halfcheetah,
+    vectorized, at the reference example's shape (examples/morld_cheetah.py:
+    pop 6, exchange_every 5e4, shared buffer, 10 update passes, PSA, 3M
+    steps)."""
+    from morl_baselines_tpu.agents import MORLD, MORLDConfig, MOSACConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("mo-halfcheetah-jx-v5")
+    agent = MORLD(
+        env,
+        MORLDConfig(
+            pop_size=6, exchange_every=512 if SMOKE else 50_000, shared_buffer=True,
+            update_passes=2 if SMOKE else 10,
+            weight_adaptation_method="PSA", vectorized=True, seed=seed,
+            sac=MOSACConfig(num_envs=4 if SMOKE else 32, learning_starts=64 if SMOKE else 2_000,
+                            buffer_size=4_096 if SMOKE else 400_000, seed=seed),
+        ),
+        log=True,
+    )
+    agent.logger = _logger("morld_halfcheetah", seed)
+    agent.train(
+        total_timesteps=2_000 if SMOKE else 3_000_000,
+        ref_point=np.array([-100.0, -100.0]),
+        eval_max_steps=50 if SMOKE else 500,
+    )
+    return dict(front=[list(map(float, v)) for v in agent.archive.evaluations],
+                metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
 CONFIGS = dict(
     moql_dst=moql_dst,
     eupg_fishwood=eupg_fishwood,
@@ -193,6 +287,9 @@ CONFIGS = dict(
     gpils_dst=gpils_dst,
     gpils_minecart=gpils_minecart,
     gpipd_minecart=gpipd_minecart,
+    gpils_cont_hopper=gpils_cont_hopper,
+    pgmorl_halfcheetah=pgmorl_halfcheetah,
+    morld_halfcheetah=morld_halfcheetah,
 )
 
 

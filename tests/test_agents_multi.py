@@ -169,3 +169,28 @@ def test_gpils_continuous_learns():
     assert best > -380.0
     # the trained policies avoid flooding entirely at this budget
     assert max(float(v[0]) for v in front) >= -1.0
+
+
+def test_gpipd_continuous_model_based():
+    """Continuous GPI-PD (reference gpi_pd_continuous_action.py with
+    dyna=True/per=True): dynamics fit + imagined actor rollouts + PER run
+    end-to-end and the CCS is non-trivial."""
+    from morl_baselines_tpu.agents import GPIPDContinuous, GPIPDContinuousConfig
+    from morl_baselines_tpu.models.dynamics import EnsembleConfig
+    from morl_baselines_tpu.replay.prioritized import PrioritizedReplayBuffer
+
+    env = make("mo-mountaincarcontinuous-v0")
+    cfg = GPIPDContinuousConfig(
+        num_envs=4, buffer_size=2048, batch_size=32, hidden=(32, 32),
+        learning_starts=64, gradient_updates=1, max_support=4,
+        per=True, dyna=True,
+        dynamics_train_freq=40, dynamics_fit_samples=128, dynamics_rollout_starts=16,
+        dynamics_rollout_len=2, dyna_buffer_size=512,
+        ensemble=EnsembleConfig(num_members=2, num_elites=1, epochs=2, hidden=(32, 32), batch_size=32),
+    )
+    agent = GPIPDContinuous(env, cfg)
+    state = agent.train(total_timesteps=600, ref_point=np.array([-1100.0, -110.0]),
+                        timesteps_per_iter=300, num_eval_weights_for_front=2, eval_max_steps=30)
+    assert isinstance(state.base.buffer, PrioritizedReplayBuffer)
+    assert int(state.dyna_buffer.size) > 0
+    assert len(agent._linear_support.ccs) >= 1

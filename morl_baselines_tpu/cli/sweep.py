@@ -16,7 +16,10 @@ estimator suggestions — the same model family wandb's bayes sweeps use, so
 this is the direct stand-in for the reference's bayes search objective).
 
 Search-space spec (JSON): {"param": {"values": [...]}} or
-{"param": {"min": lo, "max": hi, "log": true}}.
+{"param": {"min": lo, "max": hi, "log": true, "int": true}} ("int" rounds to
+int — the reference's int_uniform).  Dotted param names descend into nested
+configs ("ppo.learning_rate").  Ship-with spaces mirroring the reference's
+wandb YAMLs live in configs/sweeps/*.json (use --space-file).
 
 Usage:
     python -m morl_baselines_tpu.cli.sweep --algo envelope \
@@ -49,6 +52,8 @@ def sample_config(space: dict, rng: np.random.Generator) -> dict:
             v = float(np.exp(rng.uniform(np.log(spec["min"]), np.log(spec["max"]))))
         else:
             v = float(rng.uniform(spec["min"], spec["max"]))
+        if spec.get("int") and not isinstance(v, bool):
+            v = int(round(v))  # reference int_uniform distributions
         out[k] = v
     return out
 
@@ -68,8 +73,10 @@ def _from_unit(u, spec):
         return spec["values"][int(u)]
     lo, hi = spec["min"], spec["max"]
     if spec.get("log"):
-        return float(np.exp(np.log(lo) + u * (np.log(hi) - np.log(lo))))
-    return float(lo + u * (hi - lo))
+        v = float(np.exp(np.log(lo) + u * (np.log(hi) - np.log(lo))))
+    else:
+        v = float(lo + u * (hi - lo))
+    return int(round(v)) if spec.get("int") else v
 
 
 def tpe_suggest(space: dict, history: list, rng: np.random.Generator,
@@ -115,6 +122,20 @@ def tpe_suggest(space: dict, history: list, rng: np.random.Generator,
     return out
 
 
+def _apply_overrides(cfg, overrides: dict):
+    """dataclasses.replace with dotted keys descending into nested configs
+    (e.g. "ppo.learning_rate" for PGMORLConfig.ppo)."""
+    flat = {k: v for k, v in overrides.items() if "." not in k}
+    nested: dict = {}
+    for k, v in overrides.items():
+        if "." in k:
+            head, rest = k.split(".", 1)
+            nested.setdefault(head, {})[rest] = v
+    for head, sub in nested.items():
+        flat[head] = _apply_overrides(getattr(cfg, head), sub)
+    return dataclasses.replace(cfg, **flat)
+
+
 def _build_agent(algo: str, env_id: str, ref_point, overrides: dict, seed: int):
     env = make(env_id)
     algo_cls = ALGOS[algo]
@@ -122,7 +143,7 @@ def _build_agent(algo: str, env_id: str, ref_point, overrides: dict, seed: int):
     kwargs = {}
     if "config" in sig.parameters:
         default_cfg = sig.parameters["config"].default
-        kwargs["config"] = dataclasses.replace(default_cfg, seed=seed, **overrides)
+        kwargs["config"] = _apply_overrides(default_cfg, dict(overrides, seed=seed))
     if "ref_point" in sig.parameters:
         kwargs["ref_point"] = np.asarray(ref_point)
     if "origin" in sig.parameters:
@@ -190,7 +211,9 @@ def main(argv=None):
     parser.add_argument("--algo", required=True, choices=list(ALGOS))
     parser.add_argument("--env-id", required=True)
     parser.add_argument("--ref-point", type=float, nargs="+", required=True)
-    parser.add_argument("--space", type=str, required=True, help="JSON search space")
+    parser.add_argument("--space", type=str, default=None, help="JSON search space (inline)")
+    parser.add_argument("--space-file", type=str, default=None,
+                        help="path to a JSON search-space file (see configs/sweeps/)")
     parser.add_argument("--num-trials", type=int, default=10)
     parser.add_argument("--num-seeds", type=int, default=3)
     parser.add_argument("--num-timesteps", type=int, default=50_000)
@@ -203,7 +226,14 @@ def main(argv=None):
     parser.add_argument("--tpe", action="store_true", help="TPE (bayes-like) suggestions instead of random")
     args = parser.parse_args(argv)
 
-    space = json.loads(args.space)
+    if args.space is None and args.space_file is None:
+        parser.error("one of --space / --space-file is required")
+    if args.space_file is not None:
+        with open(args.space_file) as f:
+            space = json.load(f)
+    else:
+        space = json.loads(args.space)
+    space = {k: v for k, v in space.items() if not k.startswith("_")}  # drop _comment etc.
     rng = np.random.default_rng(args.sweep_seed)
     best = (-np.inf, None)
 

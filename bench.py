@@ -31,6 +31,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # persistent XLA compilation cache (reruns skip the big scan compiles)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 REFERENCE_SPS = 1000.0
 
 

@@ -26,6 +26,16 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+# Persistent XLA compilation cache: first compiles of the big scan programs
+# cost ~10 min on the chip; relaunches (tuning sweeps, added seeds) hit disk.
+try:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 from morl_baselines_tpu.utils.logging import MetricLogger
 
 OUT = Path("/tmp/parity_smoke") if SMOKE else Path("/root/repo/results/r3")

@@ -288,11 +288,11 @@ class MOPPO(MOAgentBase):
             return jnp.clip(pi[0], -1.0, 1.0)
         return jnp.argmax(pi[0])
 
-    @partial(jax.jit, static_argnums=(0, 3))
-    def policy_eval(self, state: MOPPOState, key, rep: int = 5, w=None):
+    @partial(jax.jit, static_argnums=(0, 3, 5))
+    def policy_eval(self, state: MOPPOState, key, rep: int = 5, w=None, max_steps: int | None = None):
         act = lambda obs, w_, k: self.act_eval(state.ts.params, state.obs_norm, obs)
         w = self.w if w is None else w
-        return policy_evaluation(self.env, act, w, key, rep=rep, gamma=self.cfg.gamma)
+        return policy_evaluation(self.env, act, w, key, rep=rep, gamma=self.cfg.gamma, max_steps=max_steps)
 
     def train(self, total_timesteps: int, state: MOPPOState | None = None) -> MOPPOState:
         cfg = self.cfg

@@ -88,7 +88,9 @@ class MORLD(MOAgentBase):
         eval_max_steps: int | None = None,
     ):
         if self.cfg.vectorized:
-            return self._train_vectorized(total_timesteps, ref_point, known_pareto_front, mesh)
+            return self._train_vectorized(
+                total_timesteps, ref_point, known_pareto_front, mesh, eval_max_steps
+            )
         cfg = self.cfg
         states = [agent.init_state(jax.random.key(cfg.seed + i)) for i, agent in enumerate(self.population)]
         shared_buffer = self.population[0].make_buffer() if cfg.shared_buffer else None
@@ -208,12 +210,16 @@ class MORLD(MOAgentBase):
         return states, buffers
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def _pop_eval(self, states, key, rep: int, weights):
+    def _pop_eval(self, states, key, rep: int, weights, max_steps: int | None = None):
         agent = self.population[0]
         ks = jax.random.split(key, weights.shape[0])
-        return jax.vmap(lambda s, kk, w: agent.policy_eval(s, kk, rep, w))(states, ks, weights)
+        return jax.vmap(lambda s, kk, w: agent.policy_eval(s, kk, rep, w, max_steps=max_steps))(
+            states, ks, weights
+        )
 
-    def _train_vectorized(self, total_timesteps, ref_point, known_pareto_front, mesh=None):
+    def _train_vectorized(
+        self, total_timesteps, ref_point, known_pareto_front, mesh=None, eval_max_steps=None
+    ):
         cfg = self.cfg
         pop = cfg.pop_size
         agent = self.population[0]
@@ -251,7 +257,7 @@ class MORLD(MOAgentBase):
                     ),
                 )
 
-            _, discs = self._pop_eval(states, k2, 3, weights)
+            _, discs = self._pop_eval(states, k2, 3, weights, max_steps=eval_max_steps)
             evals = np.asarray(discs)
             host_params = jax.device_get(states.actor_ts.params)
             for j in range(pop):

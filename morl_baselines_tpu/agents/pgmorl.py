@@ -285,9 +285,11 @@ class PGMORL(MOAgentBase):
         return st
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def _policy_eval_vec(self, stacked, key, rep: int, ws):
+    def _policy_eval_vec(self, stacked, key, rep: int, ws, max_steps: int | None = None):
         ks = jax.random.split(key, ws.shape[0])
-        return jax.vmap(lambda s, k, w: self.agents[0].policy_eval(s, k, rep, w))(stacked, ks, ws)
+        return jax.vmap(
+            lambda s, k, w: self.agents[0].policy_eval(s, k, rep, w, max_steps=max_steps)
+        )(stacked, ks, ws)
 
     @staticmethod
     def _stack(states):
@@ -297,8 +299,11 @@ class PGMORL(MOAgentBase):
     def _unstack(stacked, i):
         return jax.tree.map(lambda x: x[i], stacked)
 
-    def _eval_all_vec(self, stacked, ws, evals_before, ref_point, known_front, add_pred=True):
-        _, discs = self._policy_eval_vec(stacked, jax.random.key(self.global_step), 3, ws)
+    def _eval_all_vec(self, stacked, ws, evals_before, ref_point, known_front, add_pred=True,
+                      eval_max_steps=None):
+        _, discs = self._policy_eval_vec(
+            stacked, jax.random.key(self.global_step), 3, ws, max_steps=eval_max_steps
+        )
         discs = np.asarray(discs)
         host_params = jax.device_get(stacked.ts.params)
         for i in range(len(self.agents)):
@@ -318,7 +323,7 @@ class PGMORL(MOAgentBase):
             self.logger.log(metrics, self.global_step)
             self._last_metrics = metrics
 
-    def _train_vectorized(self, total_timesteps, ref_point, known_pareto_front):
+    def _train_vectorized(self, total_timesteps, ref_point, known_pareto_front, eval_max_steps=None):
         cfg = self.cfg
         pop = cfg.pop_size
         # all member states come from the prototype agent so the TrainState
@@ -328,14 +333,16 @@ class PGMORL(MOAgentBase):
         stacked = self._stack(states)
         ws = jnp.stack([a.w for a in self.agents])
         evals_before = [np.zeros(self.reward_dim) for _ in self.agents]
-        self._eval_all_vec(stacked, ws, evals_before, ref_point, known_pareto_front, add_pred=False)
+        self._eval_all_vec(stacked, ws, evals_before, ref_point, known_pareto_front, add_pred=False,
+                           eval_max_steps=eval_max_steps)
 
         for _ in range(cfg.warmup_iterations):
             if self.global_step >= total_timesteps:
                 break
             stacked = self._train_all_vec(stacked, ws)
             self.global_step += pop * cfg.ppo.steps_per_iteration
-            self._eval_all_vec(stacked, ws, evals_before, ref_point, known_pareto_front)
+            self._eval_all_vec(stacked, ws, evals_before, ref_point, known_pareto_front,
+                               eval_max_steps=eval_max_steps)
 
         while self.global_step < total_timesteps:
             states = [self._unstack(stacked, i) for i in range(pop)]
@@ -347,7 +354,8 @@ class PGMORL(MOAgentBase):
                     break
                 stacked = self._train_all_vec(stacked, ws)
                 self.global_step += pop * cfg.ppo.steps_per_iteration
-            self._eval_all_vec(stacked, ws, evals_before, ref_point, known_pareto_front)
+            self._eval_all_vec(stacked, ws, evals_before, ref_point, known_pareto_front,
+                               eval_max_steps=eval_max_steps)
 
         self._states = [self._unstack(stacked, i) for i in range(pop)]
         self._last_front = self.archive.front
@@ -358,10 +366,11 @@ class PGMORL(MOAgentBase):
         total_timesteps: int,
         ref_point: np.ndarray,
         known_pareto_front: Optional[np.ndarray] = None,
+        eval_max_steps: int | None = None,
     ):
         cfg = self.cfg
         if cfg.vectorized:
-            return self._train_vectorized(total_timesteps, ref_point, known_pareto_front)
+            return self._train_vectorized(total_timesteps, ref_point, known_pareto_front, eval_max_steps)
         states = [a.init_state(jax.random.key(cfg.seed + i)) for i, a in enumerate(self.agents)]
         evals_before = [np.zeros(self.reward_dim) for _ in self.agents]
         self._eval_all(states, evals_before, ref_point, known_pareto_front, add_pred=False)

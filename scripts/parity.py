@@ -259,6 +259,7 @@ def pgmorl_halfcheetah(seed: int):
     agent.train(
         total_timesteps=3_000 if SMOKE else 5_000_000,
         ref_point=np.array([-100.0, -100.0]),
+        eval_max_steps=50 if SMOKE else 500,
     )
     return dict(front=[list(map(float, v)) for v in agent.archive.evaluations],
                 metrics={k: float(v) for k, v in agent._last_metrics.items()})

@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..envs.base import MOEnv
-from ..models.dynamics import EnsembleConfig, EnsembleState, ModelEnv, ProbabilisticEnsemble
+from ..models.dynamics import (
+    EnsembleConfig,
+    EnsembleState,
+    ModelEnv,
+    ProbabilisticEnsemble,
+    get_termination_fn,
+)
 from ..replay.buffer import ReplayBuffer, Transition
 from .gpils import GPILS, GPILSConfig, GPILSState
 
@@ -65,7 +71,7 @@ class GPIPD(GPILS):
             output_dim=self.obs_dim + self.reward_dim,
             cfg=config.ensemble,
         )
-        self.model_env = ModelEnv(self.dynamics)
+        self.model_env = ModelEnv(self.dynamics, termination_fn=get_termination_fn(env.name))
 
     def init_state(self, key: jax.Array | None = None) -> GPIPDState:  # type: ignore[override]
         key = key if key is not None else jax.random.key(self.cfg.seed)
@@ -80,11 +86,15 @@ class GPIPD(GPILS):
 
     @partial(jax.jit, static_argnums=(0,))
     def fit_dynamics(self, state: GPIPDState, key: jax.Array):
-        """Fit ensemble on a fixed-size sample of real transitions (reference :748-754)."""
+        """Fit ensemble on a fixed-size sample of real transitions (reference :748-754).
+
+        Rows are sampled UNIFORMLY even under PER: the model must fit the
+        data distribution, not the TD-error distribution (the reference fits
+        on the whole buffer)."""
         k1, k2 = jax.random.split(key)
-        batch = state.base.buffer.sample(k1, self.cfg.dynamics_fit_samples)
-        if self.cfg.per:
-            batch = batch[0]
+        buf = state.base.buffer
+        idx = jax.random.randint(k1, (self.cfg.dynamics_fit_samples,), 0, jnp.maximum(buf.size, 1))
+        batch = jax.tree.map(lambda x: x[idx], buf.data)
         a_onehot = jax.nn.one_hot(batch.action.astype(jnp.int32), self.env.num_actions)
         X = jnp.concatenate([batch.obs, a_onehot], axis=-1)
         Y = jnp.concatenate([batch.next_obs - batch.obs, batch.reward], axis=-1)
@@ -108,18 +118,18 @@ class GPIPD(GPILS):
             actions = self._gpi_actions(base.ts.params, obs, w, base.support, base.support_size)
             next_obs, reward, term, unc = self.model_env.step(state.ens, obs, jax.nn.one_hot(actions, self.env.num_actions), km)
             keep = unc <= cfg.dynamics_uncertainty_threshold
+            # keep-filter under static shapes: dropped rows become duplicates
+            # of kept rows (the reference drops them host-side, :367-414);
+            # skip the insert entirely when nothing clears the threshold.
+            repl = jnp.where(keep, jnp.arange(keep.shape[0]), jnp.argmax(keep))
             tr = Transition(
-                obs=obs,
-                action=actions,
-                reward=jnp.where(keep[:, None], reward, 0.0),
-                next_obs=next_obs,
-                terminated=term.astype(jnp.float32),
+                obs=obs[repl],
+                action=actions[repl],
+                reward=reward[repl],
+                next_obs=next_obs[repl],
+                terminated=term.astype(jnp.float32)[repl],
             )
-            # masked insert: zero-priority trick is unavailable for the uniform
-            # dyna buffer, so keep-filtered rows are written as weight-0 rows by
-            # duplicating a kept row — simpler: write all, scaled rewards above,
-            # and rely on the uncertainty threshold being loose enough.
-            dyna = dyna.add_batch(tr)
+            dyna = jax.lax.cond(jnp.any(keep), lambda d: d.add_batch(tr), lambda d: d, dyna)
             return (next_obs, dyna), jnp.mean(unc)
 
         (obs, dyna), mean_unc = jax.lax.scan(
@@ -182,15 +192,12 @@ class GPIPD(GPILS):
                         real = buffer.sample(kb, n_real)
                     if n_im > 0:
                         im = dyna_buffer.sample(kd, n_im)
-                        # guard: before any imagined data exists, fall back to real rows
+                        # before any imagined data exists, substitute real rows
+                        # (tiled when n_im > n_real)
+                        ridx = jnp.arange(n_im) % n_real
+                        fallback = jax.tree.map(lambda x: x[ridx], real)
                         has_im = dyna_buffer.size > 0
-                        im = jax.tree.map(
-                            lambda a, b: jnp.where(has_im, a, b),
-                            im,
-                            jax.tree.map(lambda x: x[:n_im], real)
-                            if n_real >= n_im
-                            else im,
-                        )
+                        im = jax.tree.map(lambda a, b: jnp.where(has_im, a, b), im, fallback)
                         batch = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), real, im)
                     else:
                         batch = real
@@ -292,15 +299,18 @@ class GPIPD(GPILS):
                 base = base._replace(buffer=base.buffer.reset_priorities())
             state = state._replace(base=base)
 
-            # sub-segments punctuated by dynamics fits/rollouts
+            # sub-segments punctuated by dynamics fits/rollouts on their own
+            # cadences (reference dynamics_train_freq / dynamics_rollout_freq)
             iters = max(1, timesteps_per_iter // cfg.num_envs)
-            sub = max(1, min(cfg.dynamics_train_freq, iters))
+            sub = max(1, min(cfg.dynamics_train_freq, cfg.dynamics_rollout_freq, iters))
             done_iters = 0
             while done_iters < iters:
                 n = min(sub, iters - done_iters)
                 if cfg.dyna and int(state.base.buffer.size) >= cfg.dynamics_fit_samples // 4:
-                    state, _loss = self.fit_dynamics(state, jax.random.key(int(state.base.global_step) + 1))
-                    state, _unc = self.rollout_dynamics(state, jax.random.key(int(state.base.global_step) + 2))
+                    if done_iters % cfg.dynamics_train_freq == 0:
+                        state, _loss = self.fit_dynamics(state, jax.random.key(int(state.base.global_step) + 1))
+                    if done_iters % cfg.dynamics_rollout_freq == 0:
+                        state, _unc = self.rollout_dynamics(state, jax.random.key(int(state.base.global_step) + 2))
                 state = self.train_segment_pd(state, n, weight_selection_algo == "gpi-ls")
                 done_iters += n
 

@@ -16,9 +16,10 @@ model-based machinery, composed exactly like the discrete ``GPIPD``:
 - PER with w-scalarized TD priorities; priorities reset when the task weight
   changes (reference :405-420, 585-600).
 
-Terminations inside imagined rollouts default to "never" (reference
-termination_fn_false, common/model_based/utils.py:96-102); pass
-``termination_fn`` for envs with early termination (e.g. hopper falls).
+Terminations inside imagined rollouts resolve from the env name
+(``models.dynamics.get_termination_fn``, the reference's hand-written
+termination_fn_* table, common/model_based/utils.py:13-102); pass
+``termination_fn`` explicitly for custom envs.
 """
 
 from __future__ import annotations
@@ -33,7 +34,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..envs.base import MOEnv
-from ..models.dynamics import EnsembleConfig, EnsembleState, ModelEnv, ProbabilisticEnsemble
+from ..models.dynamics import (
+    EnsembleConfig,
+    EnsembleState,
+    ModelEnv,
+    ProbabilisticEnsemble,
+    get_termination_fn,
+)
 from ..replay.buffer import ReplayBuffer, Transition
 from ..replay.prioritized import PrioritizedReplayBuffer
 from .gpils_continuous import GPILSContinuous, GPILSContinuousConfig, GPILSContState
@@ -77,7 +84,10 @@ class GPIPDContinuous(GPILSContinuous):
             output_dim=self.obs_dim + self.reward_dim,
             cfg=config.ensemble,
         )
-        self.model_env = ModelEnv(self.dynamics, termination_fn=termination_fn)
+        self.model_env = ModelEnv(
+            self.dynamics,
+            termination_fn=termination_fn if termination_fn is not None else get_termination_fn(env.name),
+        )
 
     def init_state(self, key: jax.Array | None = None) -> GPIPDContState:  # type: ignore[override]
         cfg = self.cfg
@@ -101,11 +111,15 @@ class GPIPDContinuous(GPILSContinuous):
 
     @partial(jax.jit, static_argnums=(0,))
     def fit_dynamics(self, state: GPIPDContState, key: jax.Array):
-        """Fit ensemble on real transitions (reference :487-500)."""
+        """Fit ensemble on real transitions (reference :487-500).
+
+        Rows are sampled UNIFORMLY even under PER: the model must fit the
+        data distribution, not the TD-error distribution (the reference fits
+        on the whole buffer)."""
         k1, k2 = jax.random.split(key)
-        batch = state.base.buffer.sample(k1, self.cfg.dynamics_fit_samples)
-        if self.cfg.per:
-            batch = batch[0]
+        buf = state.base.buffer
+        idx = jax.random.randint(k1, (self.cfg.dynamics_fit_samples,), 0, jnp.maximum(buf.size, 1))
+        batch = jax.tree.map(lambda x: x[idx], buf.data)
         X = jnp.concatenate([batch.obs, batch.action], axis=-1)
         Y = jnp.concatenate([batch.next_obs - batch.obs, batch.reward], axis=-1)
         ens, loss = self.dynamics.fit(state.ens, X, Y, k2)
@@ -131,14 +145,18 @@ class GPIPDContinuous(GPILSContinuous):
             )
             next_obs, reward, term, unc = self.model_env.step(state.ens, obs, acts, km)
             keep = unc <= cfg.dynamics_uncertainty_threshold
+            # keep-filter under static shapes: dropped rows become duplicates
+            # of kept rows (the reference drops them host-side, :502-539);
+            # skip the insert entirely when nothing clears the threshold.
+            repl = jnp.where(keep, jnp.arange(keep.shape[0]), jnp.argmax(keep))
             tr = Transition(
-                obs=obs,
-                action=acts,
-                reward=jnp.where(keep[:, None], reward, 0.0),
-                next_obs=next_obs,
-                terminated=term.astype(jnp.float32),
+                obs=obs[repl],
+                action=acts[repl],
+                reward=reward[repl],
+                next_obs=next_obs[repl],
+                terminated=term.astype(jnp.float32)[repl],
             )
-            dyna = dyna.add_batch(tr)
+            dyna = jax.lax.cond(jnp.any(keep), lambda d: d.add_batch(tr), lambda d: d, dyna)
             return (next_obs, dyna), jnp.mean(unc)
 
         (obs, dyna), mean_unc = jax.lax.scan(
@@ -194,13 +212,12 @@ class GPIPDContinuous(GPILSContinuous):
                         real = s3.buffer.sample(kb, n_real)
                     if n_im > 0:
                         im = dyna_buffer.sample(kd, n_im)
-                        # before any imagined data exists, fall back to real rows
+                        # before any imagined data exists, substitute real rows
+                        # (tiled when n_im > n_real)
+                        ridx = jnp.arange(n_im) % n_real
+                        fallback = jax.tree.map(lambda x: x[ridx], real)
                         has_im = dyna_buffer.size > 0
-                        im = jax.tree.map(
-                            lambda a, b: jnp.where(has_im, a, b),
-                            im,
-                            jax.tree.map(lambda x: x[:n_im], real) if n_real >= n_im else im,
-                        )
+                        im = jax.tree.map(lambda a, b: jnp.where(has_im, a, b), im, fallback)
                         batch = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), real, im)
                     else:
                         batch = real
@@ -280,15 +297,18 @@ class GPIPDContinuous(GPILSContinuous):
                 base = base._replace(buffer=base.buffer.reset_priorities())
             state = state._replace(base=base)
 
-            # sub-segments punctuated by dynamics fits/rollouts
+            # sub-segments punctuated by dynamics fits/rollouts on their own
+            # cadences (reference dynamics_train_freq / dynamics_rollout_freq)
             iters = max(1, timesteps_per_iter // cfg.num_envs)
-            sub = max(1, min(cfg.dynamics_train_freq, iters))
+            sub = max(1, min(cfg.dynamics_train_freq, cfg.dynamics_rollout_freq, iters))
             done_iters = 0
             while done_iters < iters:
                 n = min(sub, iters - done_iters)
                 if cfg.dyna and int(state.base.buffer.size) >= cfg.dynamics_fit_samples // 4:
-                    state, _loss = self.fit_dynamics(state, jax.random.key(int(state.base.global_step) + 1))
-                    state, _unc = self.rollout_dynamics(state, jax.random.key(int(state.base.global_step) + 2))
+                    if done_iters % cfg.dynamics_train_freq == 0:
+                        state, _loss = self.fit_dynamics(state, jax.random.key(int(state.base.global_step) + 1))
+                    if done_iters % cfg.dynamics_rollout_freq == 0:
+                        state, _unc = self.rollout_dynamics(state, jax.random.key(int(state.base.global_step) + 2))
                 state = self.train_segment_pd(state, n, weight_selection_algo == "gpi-ls")
                 done_iters += n
 

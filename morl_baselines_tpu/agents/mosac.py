@@ -251,7 +251,7 @@ class MOSAC(MOAgentBase):
         mean, _ = self.actor.apply(params, obs[None])
         return jnp.tanh(mean[0])
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(0, 3, 5))
     def policy_eval(self, state: MOSACState, key, rep: int = 5, w=None, max_steps: int | None = None):
         act = lambda obs, w_, k: self.act_eval(state.actor_ts.params, obs)
         w = self.w if w is None else w
@@ -434,7 +434,7 @@ class MOSACDiscrete(MOAgentBase):
     def act_eval(self, params, obs, w=None, key=None):
         return jnp.argmax(self.actor.apply(params, obs[None])[0])
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(0, 3, 5))
     def policy_eval(self, state, key, rep: int = 5, w=None, max_steps: int | None = None):
         act = lambda obs, w_, k: self.act_eval(state.actor_ts.params, obs)
         w = self.w if w is None else w

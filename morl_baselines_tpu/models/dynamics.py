@@ -158,6 +158,38 @@ class ProbabilisticEnsemble:
         return sample, unc
 
 
+def termination_fn_false(obs, act, next_obs):
+    """Never terminate (reference common/model_based/utils.py:96-102)."""
+    return jnp.zeros(obs.shape[0], dtype=bool)
+
+
+def termination_fn_hopper(obs, act, next_obs):
+    """Healthy check of mo-hopper-jx (envs/planar.py:370-377; reference
+    common/model_based/utils.py termination_fn_hopper): obs = [q[1:], qd],
+    so z = obs[0], angle = obs[1]."""
+    healthy = (
+        (next_obs[:, 0] > 0.7)
+        & (jnp.abs(next_obs[:, 1]) < 0.2)
+        & jnp.all(jnp.abs(next_obs[:, 1:]) < 100.0, axis=-1)
+    )
+    return ~healthy
+
+
+def termination_fn_mountaincar(obs, act, next_obs):
+    """mo-mountaincarcontinuous goal (envs/mountaincar.py:91)."""
+    return (next_obs[:, 0] >= 0.45) & (next_obs[:, 1] >= 0.0)
+
+
+def get_termination_fn(env_name: str):
+    """Substring-keyed resolver, as the reference's per-env table
+    (common/model_based/utils.py:13-102); unknown envs never terminate."""
+    if "hopper" in env_name:
+        return termination_fn_hopper
+    if "mountaincar" in env_name:
+        return termination_fn_mountaincar
+    return termination_fn_false
+
+
 class ModelEnv:
     """Imagined-transition generator over the learned model (reference utils.py:139-187)."""
 

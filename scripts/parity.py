@@ -181,9 +181,13 @@ def gpipd_minecart(seed: int):
         env,
         GPIPDConfig(
             num_envs=16, gradient_updates=16, batch_size=128, buffer_size=200_000,
-            final_epsilon=0.05, epsilon_decay_steps=3_000,  # 50k/150k of the run, per-env clock
+            # epsilon floor 0.2: rare ore sales need sustained exploration on
+            # minecart (results/r3/gpils_minecart_tune.jsonl; 0.05 floor at
+            # this budget found only the idle policy)
+            final_epsilon=0.2, epsilon_decay_steps=3_000,
             target_net_update_freq=100, max_support=16, gamma=0.98,
             learning_starts=512, seed=seed,
+            dynamics_rollout_len=5, dynamics_rollout_starts=1024,
         ),
         log=True,
     )

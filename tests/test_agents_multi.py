@@ -171,6 +171,25 @@ def test_gpils_continuous_learns():
     assert max(float(v[0]) for v in front) >= -1.0
 
 
+def test_policy_eval_int_max_steps():
+    """max_steps must be jit-static on every policy_eval: passing an int cap
+    (as MORLD/PGMORL eval_max_steps plumbing does) must not raise a tracer
+    error (r3 review findings 1-3)."""
+    from morl_baselines_tpu.agents import MOSAC, MOSACConfig
+    from morl_baselines_tpu.agents.moppo import MOPPO, MOPPOConfig
+
+    env = make("mo-mountaincarcontinuous-v0")
+    sac = MOSAC(env, weights=np.array([0.5, 0.5]),
+                config=MOSACConfig(num_envs=2, learning_starts=8, buffer_size=256, hidden=(16, 16)))
+    _, disc = sac.policy_eval(sac.init_state(jax.random.key(0)), jax.random.key(1), 1, max_steps=10)
+    assert np.asarray(disc).shape == (2,)
+
+    ppo = MOPPO(env, weights=np.array([0.5, 0.5]),
+                config=MOPPOConfig(num_envs=2, steps_per_iteration=16, hidden=(16, 16)))
+    _, disc = ppo.policy_eval(ppo.init_state(jax.random.key(0)), jax.random.key(1), 1, max_steps=10)
+    assert np.asarray(disc).shape == (2,)
+
+
 def test_gpipd_continuous_model_based():
     """Continuous GPI-PD (reference gpi_pd_continuous_action.py with
     dyna=True/per=True): dynamics fit + imagined actor rollouts + PER run

@@ -180,14 +180,19 @@ def gpipd_minecart(seed: int):
     agent = GPIPD(
         env,
         GPIPDConfig(
-            num_envs=16, gradient_updates=16, batch_size=128, buffer_size=200_000,
-            # epsilon floor 0.2: rare ore sales need sustained exploration on
-            # minecart (results/r3/gpils_minecart_tune.jsonl; 0.05 floor at
-            # this budget found only the idle policy)
-            final_epsilon=0.2, epsilon_decay_steps=3_000,
+            # reference example ratios (examples/gpi_pd_minecart.py): ~10
+            # gradient updates per env-step (g=10-20 in the paper), 25k-start
+            # imagined rollouts every 250 steps, uncertainty threshold 1.5,
+            # eps 1->0.05 over a third of the run. GPI-PD's sample efficiency
+            # at 150k steps comes from the update count on model-augmented
+            # data, not from extra exploration (floor 0.2 with 1 update/step
+            # still idles - results/r3/parity_gpipd_minecart_eps02_*).
+            num_envs=16, gradient_updates=160, batch_size=128, buffer_size=200_000,
+            final_epsilon=0.05, epsilon_decay_steps=3_000,
             target_net_update_freq=100, max_support=16, gamma=0.98,
             learning_starts=512, seed=seed,
-            dynamics_rollout_len=5, dynamics_rollout_starts=1024,
+            dynamics_rollout_len=1, dynamics_rollout_starts=8192,
+            dynamics_uncertainty_threshold=1.5,
         ),
         log=True,
     )

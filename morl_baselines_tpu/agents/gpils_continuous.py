@@ -271,10 +271,13 @@ class GPILSContinuous(MOAgentBase):
             if cfg.use_batch_renorm
             else critic_ts.target_batch_stats,
         )
-        # w-scalarized TD error per row — PER priorities in GPIPDContinuous
-        # (reference gpi_pd_continuous_action.py:405-420)
+        # PER priority matches the reference exactly: first critic's per-dim
+        # |q - target| scaled by 0.05, then w-scalarized (reference
+        # gpi_pd_continuous_action.py:412-416 — NOT |w·td| over all critics;
+        # the 0.05 factor means most rows clip to the min_priority floor,
+        # giving the near-uniform PER distribution the parity curves assume).
         q_pred = self._critic_fwd(s.critic_ts, batch.obs, batch.action, w)  # (C, B, d)
-        td_w = jnp.abs(jnp.einsum("cbd,bd->cb", q_pred - target[None], w)).mean(axis=0)
+        td_w = jnp.einsum("bd,bd->b", jnp.abs(q_pred[0] - target) * 0.05, w)
         return s._replace(actor_ts=actor_ts, critic_ts=critic_ts), td_w
 
     # ---------------------------------------------------------- train segment

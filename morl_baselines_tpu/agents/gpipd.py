@@ -113,11 +113,14 @@ class GPIPD(GPILS):
         dyna = state.dyna_buffer
 
         def step(carry, k):
-            obs, dyna = carry
+            obs, alive, dyna = carry
             ka, km = jax.random.split(k)
             actions = self._gpi_actions(base.ts.params, obs, w, base.support, base.support_size)
             next_obs, reward, term, unc = self.model_env.step(state.ens, obs, jax.nn.one_hot(actions, self.env.num_actions), km)
-            keep = unc <= cfg.dynamics_uncertainty_threshold
+            # rollouts stop at termination (reference nonterm_mask,
+            # gpi_pd.py:395-399): the terminal transition itself is kept, but
+            # finished rows are frozen and never stepped/stored again.
+            keep = (unc <= cfg.dynamics_uncertainty_threshold) & alive
             # keep-filter under static shapes: dropped rows become duplicates
             # of kept rows (the reference drops them host-side, :367-414);
             # skip the insert entirely when nothing clears the threshold.
@@ -130,10 +133,13 @@ class GPIPD(GPILS):
                 terminated=term.astype(jnp.float32)[repl],
             )
             dyna = jax.lax.cond(jnp.any(keep), lambda d: d.add_batch(tr), lambda d: d, dyna)
-            return (next_obs, dyna), jnp.mean(unc)
+            alive = alive & ~term
+            next_obs = jnp.where(alive[:, None], next_obs, obs)
+            return (next_obs, alive, dyna), jnp.mean(unc)
 
-        (obs, dyna), mean_unc = jax.lax.scan(
-            step, (obs, dyna), jax.random.split(key, cfg.dynamics_rollout_len)
+        alive0 = jnp.ones((cfg.dynamics_rollout_starts,), dtype=bool)
+        (obs, _alive, dyna), mean_unc = jax.lax.scan(
+            step, (obs, alive0, dyna), jax.random.split(key, cfg.dynamics_rollout_len)
         )
         return state._replace(dyna_buffer=dyna), jnp.mean(mean_unc)
 
@@ -272,6 +278,12 @@ class GPIPD(GPILS):
         )
         max_iter = max(1, total_timesteps // timesteps_per_iter)
         t0 = time.time()
+        # steps-since counters (persist across outer iterations) instead of
+        # modulo on the per-iteration done_iters clock: with unequal freqs the
+        # modulo only fires when freq is a multiple of the sub-segment stride.
+        # Initialized at their freqs so the first eligible check fires.
+        since_fit = self.cfg.dynamics_train_freq
+        since_rollout = self.cfg.dynamics_rollout_freq
         for it in range(1, max_iter + 1):
             base = state.base
             if weight_selection_algo == "gpi-ls":
@@ -307,12 +319,16 @@ class GPIPD(GPILS):
             while done_iters < iters:
                 n = min(sub, iters - done_iters)
                 if cfg.dyna and int(state.base.buffer.size) >= cfg.dynamics_fit_samples // 4:
-                    if done_iters % cfg.dynamics_train_freq == 0:
+                    if since_fit >= cfg.dynamics_train_freq:
                         state, _loss = self.fit_dynamics(state, jax.random.key(int(state.base.global_step) + 1))
-                    if done_iters % cfg.dynamics_rollout_freq == 0:
+                        since_fit -= cfg.dynamics_train_freq
+                    if since_rollout >= cfg.dynamics_rollout_freq:
                         state, _unc = self.rollout_dynamics(state, jax.random.key(int(state.base.global_step) + 2))
+                        since_rollout -= cfg.dynamics_rollout_freq
                 state = self.train_segment_pd(state, n, weight_selection_algo == "gpi-ls")
                 done_iters += n
+                since_fit += n
+                since_rollout += n
 
             M_arr = np.stack(unique_tol([np.asarray(m) for m in M]))
             values = self.eval_weights_values_padded(

@@ -137,14 +137,18 @@ class GPIPDContinuous(GPILSContinuous):
         dyna = state.dyna_buffer
 
         def step(carry, k):
-            obs, dyna = carry
+            obs, alive, dyna = carry
             ka, km = jax.random.split(k)
             acts = self._actor_fwd(base.actor_ts, obs, w)
             acts = jnp.clip(
                 acts + jax.random.normal(ka, acts.shape) * cfg.exploration_noise, -1.0, 1.0
             )
             next_obs, reward, term, unc = self.model_env.step(state.ens, obs, acts, km)
-            keep = unc <= cfg.dynamics_uncertainty_threshold
+            # rollouts stop at termination (reference nonterm_mask,
+            # gpi_pd_continuous_action.py:357-361): the terminal transition is
+            # kept, but finished rows are frozen and never stepped/stored again
+            # — post-terminal states are invalid for terminating envs (hopper).
+            keep = (unc <= cfg.dynamics_uncertainty_threshold) & alive
             # keep-filter under static shapes: dropped rows become duplicates
             # of kept rows (the reference drops them host-side, :502-539);
             # skip the insert entirely when nothing clears the threshold.
@@ -157,10 +161,13 @@ class GPIPDContinuous(GPILSContinuous):
                 terminated=term.astype(jnp.float32)[repl],
             )
             dyna = jax.lax.cond(jnp.any(keep), lambda d: d.add_batch(tr), lambda d: d, dyna)
-            return (next_obs, dyna), jnp.mean(unc)
+            alive = alive & ~term
+            next_obs = jnp.where(alive[:, None], next_obs, obs)
+            return (next_obs, alive, dyna), jnp.mean(unc)
 
-        (obs, dyna), mean_unc = jax.lax.scan(
-            step, (obs, dyna), jax.random.split(key, cfg.dynamics_rollout_len)
+        alive0 = jnp.ones((cfg.dynamics_rollout_starts,), dtype=bool)
+        (obs, _alive, dyna), mean_unc = jax.lax.scan(
+            step, (obs, alive0, dyna), jax.random.split(key, cfg.dynamics_rollout_len)
         )
         return state._replace(dyna_buffer=dyna), jnp.mean(mean_unc)
 
@@ -272,6 +279,10 @@ class GPIPDContinuous(GPILSContinuous):
         )
         max_iter = max(1, total_timesteps // timesteps_per_iter)
         t0 = time.time()
+        # steps-since counters (persist across outer iterations) instead of
+        # modulo on the per-iteration done_iters clock — see GPIPD._train_outer.
+        since_fit = cfg.dynamics_train_freq
+        since_rollout = cfg.dynamics_rollout_freq
         for it in range(1, max_iter + 1):
             if weight_selection_algo == "gpi-ls":
                 state = state._replace(
@@ -305,12 +316,16 @@ class GPIPDContinuous(GPILSContinuous):
             while done_iters < iters:
                 n = min(sub, iters - done_iters)
                 if cfg.dyna and int(state.base.buffer.size) >= cfg.dynamics_fit_samples // 4:
-                    if done_iters % cfg.dynamics_train_freq == 0:
+                    if since_fit >= cfg.dynamics_train_freq:
                         state, _loss = self.fit_dynamics(state, jax.random.key(int(state.base.global_step) + 1))
-                    if done_iters % cfg.dynamics_rollout_freq == 0:
+                        since_fit -= cfg.dynamics_train_freq
+                    if since_rollout >= cfg.dynamics_rollout_freq:
                         state, _unc = self.rollout_dynamics(state, jax.random.key(int(state.base.global_step) + 2))
+                        since_rollout -= cfg.dynamics_rollout_freq
                 state = self.train_segment_pd(state, n, weight_selection_algo == "gpi-ls")
                 done_iters += n
+                since_fit += n
+                since_rollout += n
 
             M_arr = np.stack(unique_tol([np.asarray(m) for m in M]))
             values = self.eval_weights_values_padded(state.base, M_arr, num_eval_episodes_for_front, max_steps)

@@ -209,7 +209,7 @@ class MORLD(MOAgentBase):
             states = jax.vmap(agent._update)(states, batches, ks2, weights)
         return states, buffers
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(0, 3, 5))
     def _pop_eval(self, states, key, rep: int, weights, max_steps: int | None = None):
         agent = self.population[0]
         ks = jax.random.split(key, weights.shape[0])

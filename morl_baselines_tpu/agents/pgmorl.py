@@ -284,7 +284,7 @@ class PGMORL(MOAgentBase):
         st, _loss = jax.vmap(self.agents[0].train_iteration)(stacked, ws)
         return st
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(0, 3, 5))
     def _policy_eval_vec(self, stacked, key, rep: int, ws, max_steps: int | None = None):
         ks = jax.random.split(key, ws.shape[0])
         return jax.vmap(

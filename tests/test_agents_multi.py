@@ -190,6 +190,39 @@ def test_policy_eval_int_max_steps():
     assert np.asarray(disc).shape == (2,)
 
 
+def test_vectorized_pop_eval_int_max_steps():
+    """The vectorized population eval wrappers must also treat max_steps as
+    jit-static: MORLD._pop_eval / PGMORL._policy_eval_vec take it at position
+    5, which must be in static_argnums or an int cap (scripts/parity.py passes
+    eval_max_steps=500) raises TracerBoolConversionError at the first eval
+    (r3 advisor highs 1-2)."""
+    from morl_baselines_tpu.agents.morld import MORLD, MORLDConfig
+    from morl_baselines_tpu.agents.mosac import MOSACConfig
+    from morl_baselines_tpu.agents.pgmorl import PGMORL, PGMORLConfig
+    from morl_baselines_tpu.agents.moppo import MOPPOConfig
+
+    env = make("mo-mountaincarcontinuous-v0")
+    morld = MORLD(env, MORLDConfig(
+        pop_size=2, vectorized=True,
+        sac=MOSACConfig(num_envs=2, learning_starts=8, batch_size=16, buffer_size=256, hidden=(16, 16)),
+    ))
+    a0 = morld.population[0]
+    states = jax.vmap(a0.init_state)(jax.random.split(jax.random.key(0), 2))
+    ws = jnp.stack([jnp.asarray(w, dtype=jnp.float32) for w in morld.weights])
+    _, discs = morld._pop_eval(states, jax.random.key(1), 1, ws, 10)
+    assert np.asarray(discs).shape == (2, 2)
+
+    pg = PGMORL(env, origin=np.array([-120.0, -120.0]), config=PGMORLConfig(
+        pop_size=2,
+        ppo=MOPPOConfig(num_envs=2, steps_per_iteration=16, hidden=(16, 16)),
+    ))
+    proto = pg.agents[0]
+    stacked = pg._stack([proto.init_state(jax.random.key(i)) for i in range(2)])
+    ws = jnp.stack([a.w for a in pg.agents])
+    _, discs = pg._policy_eval_vec(stacked, jax.random.key(1), 1, ws, 10)
+    assert np.asarray(discs).shape == (2, 2)
+
+
 def test_gpipd_continuous_model_based():
     """Continuous GPI-PD (reference gpi_pd_continuous_action.py with
     dyna=True/per=True): dynamics fit + imagined actor rollouts + PER run

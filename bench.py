@@ -54,14 +54,23 @@ def _emit(metric: str, sps: float) -> None:
     )
 
 
-def _time(fn, *args) -> float:
-    """Run fn twice (compile+warmup, then timed); returns seconds of run 2."""
+def _time(fn, *args, reps: int = 3) -> float:
+    """Compile+warmup once, then time ``reps`` runs and return the MEDIAN.
+
+    A single timed repetition is not robust to one-off host/tunnel stalls:
+    round 3's driver-recorded pgmorl number collapsed 238x (70.2 vs the
+    same-code 16.7k) because one hiccup landed inside the only timed segment.
+    All repetitions are logged to stderr for the record."""
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    return time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    print(f"[bench] repetitions: {[round(t, 4) for t in times]}s", file=sys.stderr, flush=True)
+    return float(np.median(times))
 
 
 def bench_gpils_minecart(on_accel: bool) -> None:

@@ -234,6 +234,15 @@ class GPILS(MOAgentBase):
 
     def _update(self, ts: TrainState, batch: Transition, w: jnp.ndarray, key: jax.Array):
         """DroQ/min-ensemble update (reference _update_q :341-403)."""
+        ts, loss, tds, _target_psi = self._update_with_aux(ts, batch, w, key)
+        # PER priority: max over critics of |w·td| (reference one_update :470-472)
+        td_w = jnp.max(jnp.abs(jnp.einsum("cbd,bd->cb", tds, w)), axis=0)
+        return ts, loss, td_w
+
+    def _update_with_aux(self, ts: TrainState, batch: Transition, w: jnp.ndarray, key: jax.Array):
+        """Core TD step; also returns the raw per-critic TD errors (C, B, d)
+        and the bootstrap target (B, d) so subclasses (GPIPD) can derive
+        alternative priorities without a second forward."""
         cfg = self.cfg
         k_inds, k_drop_t, k_drop, _ = jax.random.split(key, 4)
         psi_next = self.q_net.apply(
@@ -262,9 +271,7 @@ class GPILS(MOAgentBase):
 
         (loss, tds), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
         ts = ts.apply_gradients(grads=grads)
-        # PER priority: max over critics of |w·td| (reference one_update :470-472)
-        td_w = jnp.max(jnp.abs(jnp.einsum("cbd,bd->cb", tds, w)), axis=0)
-        return ts, loss, td_w
+        return ts, loss, tds, target_psi
 
     # ---------------------------------------------------------- train segment
 

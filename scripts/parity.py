@@ -38,7 +38,7 @@ except Exception:
 
 from morl_baselines_tpu.utils.logging import MetricLogger
 
-OUT = Path("/tmp/parity_smoke") if SMOKE else Path("/root/repo/results/r3")
+OUT = Path("/tmp/parity_smoke") if SMOKE else Path("/root/repo/results/r4")
 
 
 def _logger(name: str, seed: int) -> MetricLogger:
@@ -170,9 +170,19 @@ def gpils_minecart(seed: int, variant: dict | None = None):
 
 
 def gpipd_minecart(seed: int):
-    """GPI-PD (dyna + PER) on minecart at the reference example's budget shape
-    (150k steps, examples/gpi_pd_minecart.py: gpi_pd=True, dyna=True,
-    per=True, buffer 2e5 >= steps), vectorized at 16 envs."""
+    """GPI-PD with its full namesake machinery (envelope-target GTD
+    priorities + per-new-weight buffer-wide priority recompute, r4) on
+    minecart at the reference example's exact ratios
+    (examples/gpi_pd_minecart.py, 150k steps = 15 x 10k):
+
+    - 20 gradient updates per env-step (reference default g=20) -> 320 per
+      16-env iteration, single-update warmup until step 5000 (reference
+      update() :419 / dynamics_rollout_starts=5000).
+    - 25k-start len-1 imagined rollouts + model fit every ~250 env-steps
+      (16 iters x 16 envs), uncertainty threshold 1.5, dyna buffer 1e5,
+      real_ratio 0.5.
+    - eps 1 -> 0.05 over a third of the run (per-env-step clock), target
+      sync every ~200 env-steps (12 iters), buffer 2e5 >= steps."""
     from morl_baselines_tpu.agents import GPIPD, GPIPDConfig
     from morl_baselines_tpu.envs import make
 
@@ -180,30 +190,29 @@ def gpipd_minecart(seed: int):
     agent = GPIPD(
         env,
         GPIPDConfig(
-            # reference example ratios (examples/gpi_pd_minecart.py): ~10
-            # gradient updates per env-step (g=10-20 in the paper), 25k-start
-            # imagined rollouts every 250 steps, uncertainty threshold 1.5,
-            # eps 1->0.05 over a third of the run. GPI-PD's sample efficiency
-            # at 150k steps comes from the update count on model-augmented
-            # data, not from extra exploration (floor 0.2 with 1 update/step
-            # still idles - results/r3/parity_gpipd_minecart_eps02_*).
-            num_envs=16, gradient_updates=160, batch_size=128, buffer_size=200_000,
+            num_envs=16, gradient_updates=4 if SMOKE else 320, full_updates_after=5_000,
+            batch_size=128, buffer_size=4_096 if SMOKE else 200_000,
             final_epsilon=0.05, epsilon_decay_steps=3_000,
-            target_net_update_freq=100, max_support=16, gamma=0.98,
-            learning_starts=512, seed=seed,
-            dynamics_rollout_len=1, dynamics_rollout_starts=8192,
+            target_net_update_freq=12, max_support=16, gamma=0.98,
+            learning_starts=256, seed=seed,
+            per=True, gpi_pd=True, dyna=True,
+            dynamics_train_freq=16, dynamics_rollout_freq=16,
+            dynamics_rollout_len=1, dynamics_rollout_starts=256 if SMOKE else 25_000,
             dynamics_uncertainty_threshold=1.5,
+            dynamics_fit_samples=256 if SMOKE else 8_192,
+            dyna_buffer_size=2_048 if SMOKE else 100_000,
+            dyna_batch_share=0.5,
         ),
         log=True,
     )
     agent.logger = _logger("gpipd_minecart", seed)
     agent.train(
-        total_timesteps=150_000,
+        total_timesteps=1_500 if SMOKE else 150_000,
         ref_point=np.array([0.0, 0.0, -200.0]),
         known_pareto_front=env.pareto_front(0.98),
-        timesteps_per_iter=10_000,
+        timesteps_per_iter=500 if SMOKE else 10_000,
         num_eval_weights_for_front=32,
-        eval_max_steps=400,
+        eval_max_steps=40 if SMOKE else 400,
     )
     return dict(ccs=[list(map(float, v)) for v in agent.ccs],
                 metrics={k: float(v) for k, v in agent._last_metrics.items()})
@@ -230,6 +239,73 @@ def gpils_cont_hopper(seed: int):
     agent.logger = _logger("gpils_cont_hopper", seed)
     agent.train(
         total_timesteps=1_500 if SMOKE else 150_000,
+        ref_point=np.array([-100.0, -100.0, -100.0]),
+        timesteps_per_iter=500 if SMOKE else 15_000,
+        num_eval_weights_for_front=32,
+        eval_max_steps=50 if SMOKE else 500,
+    )
+    return dict(ccs=[list(map(float, v)) for v in agent.ccs],
+                metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
+def gpipd_hopper(seed: int):
+    """Continuous GPI-PD at the reference example's shape (reference
+    examples/gpi_pd_hopper.py: 150k steps = 10 x 15k, buffer 4e5, batch 128,
+    len-5 imagined rollouts of 50k starts every 250 steps, uncertainty 2.0,
+    dyna real ratio 0.1, min_priority 0.1) on the device-resident planar
+    hopper.  32 envs keeps ~1 gradient update per env-step (g=1 in TD3)."""
+    from morl_baselines_tpu.agents import GPIPDContinuous, GPIPDContinuousConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("mo-hopper-jx-v5", max_episode_steps=500)
+    agent = GPIPDContinuous(
+        env,
+        GPIPDContinuousConfig(
+            num_envs=32, gradient_updates=4 if SMOKE else 32, batch_size=128,
+            buffer_size=8_192 if SMOKE else 400_000,
+            learning_starts=1_000, gamma=0.99, seed=seed,
+            per=True, dyna=True, min_priority=0.1,
+            dynamics_train_freq=8, dynamics_rollout_freq=8,
+            dynamics_rollout_len=5, dynamics_rollout_starts=256 if SMOKE else 8_192,
+            dynamics_uncertainty_threshold=2.0,
+            dynamics_fit_samples=256 if SMOKE else 8_192,
+            dyna_buffer_size=2_048 if SMOKE else 200_000,
+            dyna_batch_share=0.9,
+        ),
+        log=True,
+    )
+    agent.logger = _logger("gpipd_hopper", seed)
+    agent.train(
+        total_timesteps=1_500 if SMOKE else 150_000,
+        ref_point=np.array([-100.0, -100.0, -100.0]),
+        timesteps_per_iter=500 if SMOKE else 15_000,
+        num_eval_weights_for_front=32,
+        eval_max_steps=50 if SMOKE else 500,
+    )
+    return dict(ccs=[list(map(float, v)) for v in agent.ccs],
+                metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
+def gpils_cont_hopper_500k(seed: int):
+    """Longer-budget control for the continuous GPI-LS hopper variance
+    (VERDICT r3 weak #5 / next-step #9): same operating point as
+    gpils_cont_hopper but 500k steps to show the 150k-budget spread
+    collapses as TD3 converges."""
+    from morl_baselines_tpu.agents import GPILSContinuous, GPILSContinuousConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("mo-hopper-jx-v5", max_episode_steps=500)
+    agent = GPILSContinuous(
+        env,
+        GPILSContinuousConfig(
+            num_envs=32, gradient_updates=32, batch_size=128, buffer_size=500_000,
+            learning_starts=1_000, gamma=0.99, seed=seed,
+        ),
+        log=True,
+    )
+    agent.logger = _logger("gpils_cont_hopper_500k", seed)
+    agent.train(
+        total_timesteps=5_000 if SMOKE else 500_000,
         ref_point=np.array([-100.0, -100.0, -100.0]),
         timesteps_per_iter=500 if SMOKE else 15_000,
         num_eval_weights_for_front=32,
@@ -311,7 +387,9 @@ CONFIGS = dict(
     gpils_dst=gpils_dst,
     gpils_minecart=gpils_minecart,
     gpipd_minecart=gpipd_minecart,
+    gpipd_hopper=gpipd_hopper,
     gpils_cont_hopper=gpils_cont_hopper,
+    gpils_cont_hopper_500k=gpils_cont_hopper_500k,
     pgmorl_halfcheetah=pgmorl_halfcheetah,
     morld_halfcheetah=morld_halfcheetah,
 )

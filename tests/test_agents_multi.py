@@ -223,6 +223,63 @@ def test_vectorized_pop_eval_int_max_steps():
     assert np.asarray(discs).shape == (2, 2)
 
 
+def test_gpipd_envelope_target_and_priority_recompute():
+    """The 'PD' machinery (reference gpi_pd.py:465-530, 619-660):
+    _envelope_target must equal the brute-force max over (support policy,
+    action) of the min-over-critics psi, and recompute_priorities must
+    produce weight-dependent, non-uniform priorities over valid rows only."""
+    from morl_baselines_tpu.replay.buffer import Transition
+
+    env = make("deep-sea-treasure-v0")
+    cfg = GPIPDConfig(num_envs=4, buffer_size=256, batch_size=16, hidden=(16, 16),
+                      max_support=4, dyna=False, learning_starts=8)
+    agent = GPIPD(env, cfg)
+    state = agent.init_state(jax.random.key(0))
+    d, A = env.reward_dim, env.num_actions
+    B, M, Mv = 5, 4, 3
+
+    k = jax.random.key(42)
+    obs = jax.random.normal(k, (B, agent.obs_dim))
+    support = jax.random.dirichlet(jax.random.fold_in(k, 1), jnp.ones(d), (M,)).astype(jnp.float32)
+    w = jax.random.dirichlet(jax.random.fold_in(k, 2), jnp.ones(d), (B,)).astype(jnp.float32)
+    params = state.base.ts.target_params
+
+    got = np.asarray(agent._envelope_target(params, obs, w, support, jnp.int32(Mv)))
+    psi = np.asarray(agent.q_net.apply(params, jnp.repeat(obs, M, 0), jnp.tile(support, (B, 1)), True))
+    C = psi.shape[0]
+    psi = psi.reshape(C, B, M, A, d)
+    for b in range(B):
+        best_val, best_vec = -np.inf, None
+        for m in range(Mv):  # only valid support rows participate
+            for a in range(A):
+                scal = [float(psi[c, b, m, a] @ w[b]) for c in range(C)]
+                vec = psi[int(np.argmin(scal)), b, m, a]  # min over critics
+                val = float(vec @ w[b])
+                if val > best_val:
+                    best_val, best_vec = val, vec
+        np.testing.assert_allclose(got[b], best_vec, rtol=1e-5)
+
+    # --- recompute_priorities: fill the buffer, then recompute vs two weights
+    n = 64
+    kk = jax.random.fold_in(k, 3)
+    tr = Transition(
+        obs=jax.random.normal(kk, (n, agent.obs_dim)),
+        action=jax.random.randint(jax.random.fold_in(kk, 1), (n,), 0, A),
+        reward=jax.random.normal(jax.random.fold_in(kk, 2), (n, d)),
+        next_obs=jax.random.normal(jax.random.fold_in(kk, 3), (n, agent.obs_dim)),
+        terminated=jnp.zeros((n,)),
+    )
+    state = state._replace(base=state.base._replace(buffer=state.base.buffer.add_batch(tr)))
+    w1 = jnp.asarray([0.9, 0.1], dtype=jnp.float32)
+    w2 = jnp.asarray([0.1, 0.9], dtype=jnp.float32)
+    p1 = np.asarray(agent.recompute_priorities(state, w1).base.buffer.priorities)
+    p2 = np.asarray(agent.recompute_priorities(state, w2).base.buffer.priorities)
+    floor = cfg.min_priority ** cfg.per_alpha
+    assert (p1[:n] >= floor - 1e-6).all() and (p1[n:] == 0.0).all()
+    assert p1[:n].std() > 0  # non-uniform: actual GTD magnitudes, not a reset
+    assert not np.allclose(p1[:n], p2[:n])  # weight-dependent
+
+
 def test_gpipd_continuous_model_based():
     """Continuous GPI-PD (reference gpi_pd_continuous_action.py with
     dyna=True/per=True): dynamics fit + imagined actor rollouts + PER run

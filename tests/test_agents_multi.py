@@ -124,6 +124,61 @@ def test_nlmoppo_and_ipro2d():
     assert len(pf) >= 2  # reference test asserts len(pf) >= 2 (:409)
 
 
+def test_ipro_nd_referent_machinery():
+    """Pin the n-D IPRO point-set machinery on a synthetic case (reference
+    ipro.py:212-331): staircase lower/upper updates, HVI referent-selection
+    order, completed-set bookkeeping and excluded-volume accounting."""
+    from morl_baselines_tpu.agents.ipro import IPRO, IPROConfig
+    from morl_baselines_tpu.agents.nlmoppo import NLMOPPOConfig
+
+    env = make("deep-sea-treasure-v0")
+    ipro = IPRO(env, IPROConfig(ppo=NLMOPPOConfig(num_envs=2, num_steps=8, hidden=(8, 8))))
+    ipro.nadir = np.array([0.0, 0.0])
+    ipro.ideal = np.array([4.0, 4.0])
+    ipro.total_hv = 16.0
+    ipro.pf = []
+    ipro.lower_points = ipro.nadir[None].copy()
+    ipro.upper_points = ipro.ideal[None].copy()
+
+    # found (2,3) against referent (0,0): staircase splits both sets
+    ipro.update_found(np.array([0.0, 0.0]), np.array([2.0, 3.0]))
+    assert sorted(map(tuple, ipro.lower_points)) == [(0.0, 3.0), (2.0, 0.0)]
+    assert sorted(map(tuple, ipro.upper_points)) == [(2.0, 4.0), (4.0, 3.0)]
+
+    # HVI order: vol-to-ideal of pf∪{(2,0)} = 8 > pf∪{(0,3)} = 4
+    ipro.compute_hvis()
+    assert tuple(ipro.select_referent()) == (2.0, 0.0)
+
+    # failed referent (2,0) with a robust point (1,1)
+    ipro.update_not_found(np.array([2.0, 0.0]), np.array([1.0, 1.0]))
+    assert sorted(map(tuple, ipro.lower_points)) == [(0.0, 3.0)]
+    assert tuple(map(tuple, ipro.completed)) == ((2.0, 0.0),)
+    assert tuple(map(tuple, ipro.robust_points)) == ((1.0, 1.0),)
+    assert sorted(map(tuple, ipro.upper_points)) == [(2.0, 4.0)]
+
+    # excluded volume: dominated HV(pf vs nadir)=6, discarded vol-to-ideal=8
+    ipro.update_excluded_volume()
+    assert abs(ipro.dominated_hv - 6.0) < 1e-9
+    assert abs(ipro.discarded_hv - 8.0) < 1e-9
+    ipro.estimate_error()
+    assert np.isfinite(ipro.error)
+
+
+def test_ipro_nd_end_to_end():
+    """The full n-D loop (HVI referents + replay path) runs on DST and
+    produces a non-trivial front with growing coverage."""
+    from morl_baselines_tpu.agents.ipro import IPRO, IPROConfig
+    from morl_baselines_tpu.agents.nlmoppo import NLMOPPOConfig
+
+    env = make("deep-sea-treasure-v0")
+    ipro = IPRO(env, IPROConfig(max_iterations=2, iter_total_timesteps=256,
+                                ppo=NLMOPPOConfig(num_envs=4, num_steps=32, num_minibatches=2,
+                                                  update_epochs=1, hidden=(16, 16))))
+    pf = ipro.train()
+    assert len(pf) >= 2
+    assert 0.0 <= ipro.coverage <= 1.0
+
+
 def test_gpipd_model_based():
     env = make("deep-sea-treasure-v0")
     from morl_baselines_tpu.models.dynamics import EnsembleConfig

@@ -8,7 +8,9 @@ covering the five BASELINE.json configs (VERDICT round-1 next-step #4):
   3. PGMORL / halfcheetah       (vectorized population: all PPO workers 1 vmap)
   4. MORL/D / halfcheetah       (vectorized population: MOSAC + shared-buffer
                                  cooperation passes under one jit)
-  5. Envelope / minecart        (headline; printed LAST so single-line parsers
+  5. Pallas Pareto kernel       (compiled-mode correctness vs the jnp mask on
+                                 the chip + tiled-prune throughput)
+  6. Envelope / minecart        (headline; printed LAST so single-line parsers
                                  keep reporting it)
 
 Each workload times the FULL train loop (act -> env step -> store -> gradient
@@ -179,6 +181,50 @@ def bench_morld_halfcheetah(on_accel: bool) -> None:
     _emit("morld_halfcheetah_env_steps_per_sec_per_chip", pop * seg_iters * num_envs / dt)
 
 
+def bench_pareto_kernel(on_accel: bool) -> None:
+    """Pallas tiled non-dominated mask on an archive-scale front (the
+    large-front pruning path of DeviceParetoFront/device_front_metrics).
+    On the chip: asserts bitwise agreement with the jnp mask in COMPILED
+    (non-interpret) mode, then times both.  For this line only, vs_baseline
+    is the kernel's speedup over the jnp XLA mask on the same device."""
+    from morl_baselines_tpu.core.pareto import non_dominated_mask
+    from morl_baselines_tpu.ops.pareto_kernel import non_dominated_mask_pallas
+
+    n = 8192 if on_accel else 512
+    pts = jax.random.normal(jax.random.key(0), (n, 3))
+    jnp_mask = jax.jit(lambda p: non_dominated_mask(p, None, False))
+    if on_accel:
+        m1 = np.asarray(non_dominated_mask_pallas(pts, keep_duplicates=False))
+        m2 = np.asarray(jnp_mask(pts))
+        assert (m1 == m2).all(), "pallas mask disagrees with jnp mask on chip"
+        dt_k = _time(lambda p: non_dominated_mask_pallas(p, keep_duplicates=False), pts)
+        dt_j = _time(jnp_mask, pts)
+        print(
+            json.dumps(
+                {
+                    "metric": f"pareto_nd_mask_n{n}_rows_per_sec",
+                    "value": round(n / dt_k, 1),
+                    "unit": "rows/s",
+                    "vs_baseline": round(dt_j / dt_k, 2),
+                }
+            ),
+            flush=True,
+        )
+    else:
+        dt_j = _time(jnp_mask, pts)
+        print(
+            json.dumps(
+                {
+                    "metric": f"pareto_nd_mask_n{n}_rows_per_sec",
+                    "value": round(n / dt_j, 1),
+                    "unit": "rows/s",
+                    "vs_baseline": 1.0,
+                }
+            ),
+            flush=True,
+        )
+
+
 def bench_envelope_minecart(on_accel: bool) -> None:
     """Headline: the round-1 Envelope/minecart full actor-learner workload
     (N vectorized envs + envelope-target updates at 1-update-per-2048-steps)."""
@@ -211,6 +257,7 @@ def main() -> None:
         bench_gpils_cont_hopper,
         bench_pgmorl_halfcheetah,
         bench_morld_halfcheetah,
+        bench_pareto_kernel,
         bench_envelope_minecart,  # headline LAST
     ]
     if "--headline-only" in sys.argv:

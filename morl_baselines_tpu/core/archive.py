@@ -51,7 +51,11 @@ class DeviceParetoFront(NamedTuple):
             cand_valid = jnp.ones((m,), dtype=bool)
         all_vals = jnp.concatenate([self.values, cand], axis=0)
         all_valid = jnp.concatenate([self.valid, cand_valid], axis=0)
-        nd = non_dominated_mask(all_vals, all_valid, keep_duplicates=False)
+        # large-front path: tiled Pallas prune on TPU (ops/pareto_kernel.py),
+        # jnp mask otherwise
+        from ..ops.pareto_kernel import non_dominated_mask_auto
+
+        nd = non_dominated_mask_auto(all_vals, all_valid, keep_duplicates=False)
         # score: non-dominated first, break ties by diversity (negated crowding not
         # needed at reference scale; use scalar sum as a stable secondary key)
         score = nd.astype(jnp.float32) * 1e6 + jnp.where(nd, jnp.sum(all_vals, axis=-1), 0.0)

@@ -219,8 +219,9 @@ def device_front_metrics(
 ) -> dict:
     """Fully on-device metric bundle (2-obj exact HV; EUM/cardinality any d)."""
     from ..core.indicators import hypervolume_2d
+    from ..ops.pareto_kernel import non_dominated_mask_auto
 
-    nd = non_dominated_mask(front, valid)
+    nd = non_dominated_mask_auto(front, valid)
     out = {
         "eval/eum": expected_utility(front, eval_weights, valid=nd),
         "eval/cardinality": cardinality(front, valid),

@@ -20,6 +20,19 @@ def test_pallas_nd_mask_matches_jnp():
         assert bool(jnp.array_equal(ref, got))
 
 
+def test_pallas_nd_mask_dedup_matches_jnp():
+    """keep_duplicates=False (the DeviceParetoFront.add path): an earlier
+    valid duplicate must suppress later copies, exactly like the jnp mask."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 3)).astype(np.float32)
+    pts = np.vstack([base, base[:20], base[5:10]])  # planted duplicate groups
+    pts = jnp.asarray(pts)
+    valid = jnp.asarray(rng.uniform(size=pts.shape[0]) > 0.2)
+    ref = non_dominated_mask(pts, valid, keep_duplicates=False)
+    got = non_dominated_mask_pallas(pts, valid, keep_duplicates=False, interpret=True)
+    assert bool(jnp.array_equal(ref, got))
+
+
 def test_mujoco_host_adapter():
     pytest.importorskip("gymnasium")
     pytest.importorskip("mujoco")

@@ -11,6 +11,18 @@ MORL workloads have tiny networks, so the parallel axes that matter are
 
 Params stay replicated; gradients are reduced by XLA-inserted psum when the
 batch axis is sharded.  Metrics/archives all-gather across hosts over DCN.
+
+Replay-buffer placement: the buffer stays REPLICATED.  Every sharded
+``add_batch`` therefore implies an all-gather of the per-device transition
+slices (N rows x (2*obs_dim + d + 2) floats per step) so each replica holds
+the full ring.  At reference scales this is cheap — e.g. minecart at
+N=4096 envs is ~4096x19x4B ≈ 300 KB/step over ICI, far below the update
+math — and it buys exact single-device-equivalent semantics (every replica
+samples identical batches; see tests/test_parallel.py sharded-equivalence
+tests).  Sharding buffer ROWS alongside the env axis would cut the gather
+but makes PER sampling a cross-device inverse-CDF (priority cumsum spans
+devices) and breaks replica-identical batches; revisit only if profiles show
+the gather on the critical path.
 """
 
 from __future__ import annotations

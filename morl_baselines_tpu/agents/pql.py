@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.indicators import hypervolume_2d, hypervolume_3d, hypervolume_mc
+from ..core.indicators import (
+    hypervolume_2d,
+    hypervolume_3d,
+    hypervolume_mc,
+    hypervolume_small_exact,
+)
 from ..core.pareto import non_dominated_mask
 from ..envs.base import MOEnv
 from ..evaluation.evaluation import multi_policy_metrics
@@ -116,10 +121,11 @@ class PQL(MOAgentBase):
     def _score_actions(self, state: PQLState, s_idx, key=None):
         """Per-action score of Q_set(s, a) (reference :122-154).
 
-        Hypervolume scoring works at any d (reference pql.py:122-154 uses
-        pymoo exact HV): exact device kernels for d<=3, Monte-Carlo estimate
-        beyond (common random numbers across actions keep the comparison
-        consistent within a step)."""
+        Hypervolume scoring is EXACT at any d, like the reference's pymoo
+        host HV (reference pql.py:122-154): sweep kernels for d<=3,
+        inclusion-exclusion over the capacity-bounded Q-set beyond (exact
+        for set_capacity <= 16; Monte-Carlo with common random numbers
+        across actions only above that)."""
 
         def score_a(a):
             vals, valid = self._q_set_of(state, s_idx, a)
@@ -128,6 +134,8 @@ class PQL(MOAgentBase):
                     return hypervolume_2d(vals, self.ref_point, valid)
                 if self.reward_dim == 3:
                     return hypervolume_3d(vals, self.ref_point, valid)
+                if vals.shape[0] <= 16:
+                    return hypervolume_small_exact(vals, self.ref_point, valid)
                 k = key if key is not None else jax.random.key(0)
                 return hypervolume_mc(vals, self.ref_point, k, valid, n_samples=2048)
             # cardinality of non-dominated members

@@ -83,6 +83,38 @@ def hypervolume_3d(
     return jnp.sum(jnp.maximum(z - z_next, 0.0) * hv2)
 
 
+def hypervolume_small_exact(
+    front: jnp.ndarray, ref_point: jnp.ndarray, valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """EXACT hypervolume for ANY number of objectives at small N, jittable.
+
+    Inclusion–exclusion over the union of boxes [ref, p_i]:
+        HV = Σ_{∅≠S⊆points} (−1)^{|S|+1} · vol([ref, min_{i∈S} p_i])
+    as one dense (2^N, N) subset-mask computation — 2^N·N·d elementwise ops
+    on the VPU, no recursion, no data-dependent shapes.  For N ≤ 16 (PQL's
+    capacity-bounded per-(s,a) Q-sets) this is exact at any d where the
+    reference calls pymoo's host HV per action (reference pql.py:122-154).
+    Invalid points collapse onto the ref (empty box ⇒ zero contribution in
+    every subset containing them — handled by forcing them out of the min).
+    """
+    front = jnp.asarray(front, dtype=jnp.float32)
+    ref = jnp.asarray(ref_point, dtype=jnp.float32)
+    n = front.shape[0]
+    assert n <= 20, "inclusion-exclusion HV is for small capacity-bounded sets"
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    pts = jnp.where(valid[:, None], jnp.maximum(front, ref), ref)
+    subsets = jnp.arange(1, 2**n, dtype=jnp.uint32)
+    member = (subsets[:, None] >> jnp.arange(n, dtype=jnp.uint32)[None, :]) & 1  # (2^n-1, n)
+    member = member.astype(bool)
+    # min over selected points per dim; non-members at +inf
+    sel = jnp.where(member[:, :, None], pts[None, :, :], jnp.inf)
+    mins = jnp.min(sel, axis=1)  # (2^n-1, d)
+    vols = jnp.prod(jnp.maximum(mins - ref[None, :], 0.0), axis=-1)
+    sign = jnp.where(jnp.sum(member, axis=1) % 2 == 1, 1.0, -1.0)
+    return jnp.sum(sign * vols)
+
+
 def hypervolume_mc(
     front: jnp.ndarray,
     ref_point: jnp.ndarray,

@@ -193,6 +193,28 @@ def test_host_archive():
     assert arch.individuals == ["d"]
 
 
+def test_hypervolume_small_exact_any_d():
+    """Inclusion-exclusion device HV is EXACT at any d for small N (the PQL
+    d>3 action-scoring path, closing the r3 MC-fallback gap): matches the
+    host WFG at d=4 and d=5, including valid masks and dominated points."""
+    from morl_baselines_tpu.core.indicators import hypervolume_small_exact
+
+    rng = np.random.default_rng(11)
+    for d in (2, 3, 4, 5):
+        for _ in range(3):
+            front = rng.uniform(0.1, 1.0, size=(10, d))
+            ref = np.zeros(d)
+            exact = hypervolume(front, ref)
+            dev = float(jax.jit(hypervolume_small_exact)(jnp.asarray(front), jnp.asarray(ref)))
+            assert dev == pytest.approx(exact, rel=1e-4), d
+    # valid mask: masked rows contribute nothing
+    front = rng.uniform(0.1, 1.0, size=(8, 4))
+    valid = np.array([True] * 5 + [False] * 3)
+    exact = hypervolume(front[:5], np.zeros(4))
+    dev = float(hypervolume_small_exact(jnp.asarray(front), jnp.zeros(4), jnp.asarray(valid)))
+    assert dev == pytest.approx(exact, rel=1e-4)
+
+
 def test_hypervolume_3d_device_exact():
     """Jittable 3-D slab-sweep kernel matches the exact host WFG, incl. masks."""
     from morl_baselines_tpu.core.indicators import hypervolume_3d

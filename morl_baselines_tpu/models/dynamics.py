@@ -180,6 +180,24 @@ def termination_fn_mountaincar(obs, act, next_obs):
     return (next_obs[:, 0] >= 0.45) & (next_obs[:, 1] >= 0.0)
 
 
+def termination_fn_minecart(obs, act, next_obs):
+    """Minecart sale: the episode ends when the cart crosses back into the
+    home base carrying ore (reference termination_fn_minecart
+    common/model_based/utils.py:35-45: out->in base crossing; our env
+    additionally requires cargo, envs/minecart.py:130-132 ``sell``).
+
+    Missing this fn was a real GPI-PD failure mode: imagined sale
+    transitions stored as NON-terminal bootstrap into invented post-sale
+    states, corrupting exactly the Q-values that carry the ore reward
+    (r4: HV rose to ~4-5 by 50k then collapsed to the idle CCS).
+    obs layout: [pos(2), speed, sin, cos, cargo(2)] (envs/minecart.py:80-89).
+    """
+    in_base = jnp.sqrt(jnp.einsum("ij,ij->i", next_obs[:, 0:2], next_obs[:, 0:2])) < 0.15
+    was_out = jnp.sqrt(jnp.einsum("ij,ij->i", obs[:, 0:2], obs[:, 0:2])) >= 0.15
+    has_cargo = jnp.sum(obs[:, 6:8], axis=-1) > 0.0
+    return in_base & was_out & has_cargo
+
+
 def get_termination_fn(env_name: str):
     """Substring-keyed resolver, as the reference's per-env table
     (common/model_based/utils.py:13-102); unknown envs never terminate."""
@@ -187,6 +205,8 @@ def get_termination_fn(env_name: str):
         return termination_fn_hopper
     if "mountaincar" in env_name:
         return termination_fn_mountaincar
+    if "minecart" in env_name:
+        return termination_fn_minecart
     return termination_fn_false
 
 

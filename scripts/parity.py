@@ -199,7 +199,7 @@ def gpipd_minecart(seed: int):
             dynamics_train_freq=16, dynamics_rollout_freq=16,
             dynamics_rollout_len=1, dynamics_rollout_starts=256 if SMOKE else 25_000,
             dynamics_uncertainty_threshold=1.5,
-            dynamics_fit_samples=256 if SMOKE else 8_192,
+            dynamics_fit_samples=256 if SMOKE else 16_384,
             dyna_buffer_size=2_048 if SMOKE else 100_000,
             dyna_batch_share=0.5,
         ),

@@ -33,6 +33,23 @@ def test_pallas_nd_mask_dedup_matches_jnp():
     assert bool(jnp.array_equal(ref, got))
 
 
+def test_minecart_model_termination():
+    """Imagined minecart transitions terminate on an out->in base crossing
+    with cargo (reference termination_fn_minecart utils.py:35-45; our env
+    terminates on sale, envs/minecart.py:130-141)."""
+    from morl_baselines_tpu.models.dynamics import get_termination_fn
+
+    fn = get_termination_fn("minecart-v0")
+    # obs: [pos(2), speed, sin, cos, cargo(2)]
+    out_with_cargo = np.array([0.5, 0.5, 0.1, 0.0, 1.0, 0.4, 0.3], dtype=np.float32)
+    out_no_cargo = np.array([0.5, 0.5, 0.1, 0.0, 1.0, 0.0, 0.0], dtype=np.float32)
+    in_base = np.array([0.05, 0.05, 0.1, 0.0, 1.0, 0.4, 0.3], dtype=np.float32)
+    obs = jnp.asarray(np.stack([out_with_cargo, out_no_cargo, in_base]))
+    nxt = jnp.asarray(np.stack([in_base, in_base, in_base]))
+    term = np.asarray(fn(obs, None, nxt))
+    assert term.tolist() == [True, False, False]
+
+
 def test_mujoco_host_adapter():
     pytest.importorskip("gymnasium")
     pytest.importorskip("mujoco")

@@ -158,12 +158,22 @@ class ProbabilisticEnsemble:
         return sample, unc
 
 
-def termination_fn_false(obs, act, next_obs):
+def termination_fn_false(obs, act, next_obs, rew=None):
     """Never terminate (reference common/model_based/utils.py:96-102)."""
     return jnp.zeros(obs.shape[0], dtype=bool)
 
 
-def termination_fn_hopper(obs, act, next_obs):
+def termination_fn_dst(obs, act, next_obs, rew=None):
+    """Deep-sea-treasure: collecting any treasure ends the episode.
+
+    The reference keys on the predicted treasure reward being non-zero
+    (termination_fn_dst utils.py:9-22); on a sampled Gaussian prediction a
+    literal != 0 always fires, so we threshold at half the smallest treasure
+    (0.7/2) instead."""
+    return jnp.abs(rew[:, 0]) > 0.35
+
+
+def termination_fn_hopper(obs, act, next_obs, rew=None):
     """Healthy check of mo-hopper-jx (envs/planar.py:370-377; reference
     common/model_based/utils.py termination_fn_hopper): obs = [q[1:], qd],
     so z = obs[0], angle = obs[1]."""
@@ -175,12 +185,12 @@ def termination_fn_hopper(obs, act, next_obs):
     return ~healthy
 
 
-def termination_fn_mountaincar(obs, act, next_obs):
+def termination_fn_mountaincar(obs, act, next_obs, rew=None):
     """mo-mountaincarcontinuous goal (envs/mountaincar.py:91)."""
     return (next_obs[:, 0] >= 0.45) & (next_obs[:, 1] >= 0.0)
 
 
-def termination_fn_minecart(obs, act, next_obs):
+def termination_fn_minecart(obs, act, next_obs, rew=None):
     """Minecart sale: the episode ends when the cart crosses back into the
     home base carrying ore (reference termination_fn_minecart
     common/model_based/utils.py:35-45: out->in base crossing; our env
@@ -203,6 +213,8 @@ def get_termination_fn(env_name: str):
     (common/model_based/utils.py:13-102); unknown envs never terminate."""
     if "hopper" in env_name:
         return termination_fn_hopper
+    if "deep-sea-treasure" in env_name or "dst" in env_name:
+        return termination_fn_dst
     if "mountaincar" in env_name:
         return termination_fn_mountaincar
     if "minecart" in env_name:
@@ -225,7 +237,7 @@ class ModelEnv:
         next_obs = obs + sample[:, :obs_dim]
         reward = sample[:, obs_dim:]
         if self.termination_fn is not None:
-            term = self.termination_fn(obs, actions, next_obs)
+            term = self.termination_fn(obs, actions, next_obs, reward)
         else:
             term = jnp.zeros((obs.shape[0],), dtype=bool)
         return next_obs, reward, term, unc

@@ -463,6 +463,38 @@ class GPIPD(GPILS):
                 since_fit += n
                 since_rollout += n
 
+            # diagnostics: are the rare positive-reward transitions (minecart
+            # ore sales) present in real/imagined data, and does PER weight
+            # them? One device reduction per outer iteration.
+            buf = state.base.buffer
+            valid = np.arange(buf.capacity) < int(buf.size)
+            pos = np.asarray(jnp.sum(jnp.any(buf.data.reward > 0, axis=-1) & jnp.asarray(valid)))
+            diag = {
+                "diag/buffer_positive_reward_rows": int(pos),
+                "diag/buffer_size": int(buf.size),
+            }
+            if cfg.per:
+                prios = np.asarray(buf.priorities)
+                posmask = np.asarray(jnp.any(buf.data.reward > 0, axis=-1)) & valid
+                if posmask.any():
+                    diag["diag/mean_priority_positive_rows"] = float(prios[posmask].mean())
+                diag["diag/mean_priority_all"] = float(prios[valid].mean()) if valid.any() else 0.0
+            if cfg.dyna:
+                dbuf = state.dyna_buffer
+                dvalid = np.arange(dbuf.capacity) < int(dbuf.size)
+                dpos = np.asarray(
+                    jnp.sum(jnp.any(dbuf.data.reward > 0.1, axis=-1) & jnp.asarray(dvalid))
+                )
+                dterm = np.asarray(jnp.sum(dbuf.data.terminated * jnp.asarray(dvalid)))
+                diag.update(
+                    {
+                        "diag/dyna_size": int(dbuf.size),
+                        "diag/dyna_positive_reward_rows": int(dpos),
+                        "diag/dyna_terminated_rows": int(dterm),
+                    }
+                )
+            self.logger.log(diag, int(state.base.global_step))
+
             M_arr = np.stack(unique_tol([np.asarray(m) for m in M]))
             values = self.eval_weights_values_padded(
                 state.base, M_arr, num_eval_episodes_for_front, max_steps

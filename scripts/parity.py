@@ -252,6 +252,65 @@ def gpils_cont_hopper(seed: int):
                 metrics={k: float(v) for k, v in agent._last_metrics.items()})
 
 
+def _gpipd_minecart_base(seed: int, name: str, **overrides):
+    """Shared runner for the GPI-PD minecart ablations (r4 forgetting
+    analysis: sales are discovered ~40-50k then unlearned in every run)."""
+    from dataclasses import replace
+
+    from morl_baselines_tpu.agents import GPIPD, GPIPDConfig
+    from morl_baselines_tpu.envs import make
+
+    env = make("minecart-v0")
+    cfg = GPIPDConfig(
+        num_envs=16, gradient_updates=4 if SMOKE else 320, full_updates_after=5_000,
+        batch_size=128, buffer_size=4_096 if SMOKE else 200_000,
+        final_epsilon=0.05, epsilon_decay_steps=3_000,
+        target_net_update_freq=12, max_support=16, gamma=0.98,
+        learning_starts=256, seed=seed,
+        per=True, gpi_pd=True, dyna=True,
+        dynamics_train_freq=16, dynamics_rollout_freq=16,
+        dynamics_rollout_len=1, dynamics_rollout_starts=256 if SMOKE else 25_000,
+        dynamics_uncertainty_threshold=1.5,
+        dynamics_fit_samples=256 if SMOKE else 16_384,
+        dyna_buffer_size=2_048 if SMOKE else 100_000,
+        dyna_batch_share=0.5,
+    )
+    cfg = replace(cfg, **overrides)
+    agent = GPIPD(env, cfg, log=True)
+    agent.logger = _logger(name, seed)
+    agent.train(
+        total_timesteps=1_500 if SMOKE else 150_000,
+        ref_point=np.array([0.0, 0.0, -200.0]),
+        known_pareto_front=env.pareto_front(0.98),
+        timesteps_per_iter=500 if SMOKE else 10_000,
+        num_eval_weights_for_front=32,
+        num_eval_episodes_for_front=5,
+        eval_max_steps=40 if SMOKE else 400,
+    )
+    return dict(ccs=[list(map(float, v)) for v in agent.ccs],
+                metrics={k: float(v) for k, v in agent._last_metrics.items()})
+
+
+def gpipd_minecart_nodyna(seed: int):
+    """Ablation A: GTD priorities + recompute WITHOUT imagined data
+    (dyna=False). If this learns and retains, the forgetting force is the
+    model-generated batch half teaching near-zero sale values."""
+    return _gpipd_minecart_base(seed, "gpipd_minecart_nodyna", dyna=False)
+
+
+def gpipd_minecart_strongmodel(seed: int):
+    """Ablation B: dyna with a much stronger model fit (the reference fits
+    the WHOLE buffer to convergence with holdout early stopping every 250
+    steps; our default is 10 epochs on a 16k sample)."""
+    from morl_baselines_tpu.models.dynamics import EnsembleConfig
+
+    return _gpipd_minecart_base(
+        seed, "gpipd_minecart_strongmodel",
+        dynamics_fit_samples=512 if SMOKE else 65_536,
+        ensemble=EnsembleConfig(num_members=5, num_elites=2, epochs=4 if SMOKE else 25),
+    )
+
+
 def gpipd_hopper(seed: int):
     """Continuous GPI-PD at the reference example's shape (reference
     examples/gpi_pd_hopper.py: 150k steps = 10 x 15k, buffer 4e5, batch 128,
@@ -423,6 +482,8 @@ CONFIGS = dict(
     gpils_dst=gpils_dst,
     gpils_minecart=gpils_minecart,
     gpipd_minecart=gpipd_minecart,
+    gpipd_minecart_nodyna=gpipd_minecart_nodyna,
+    gpipd_minecart_strongmodel=gpipd_minecart_strongmodel,
     gpipd_hopper=gpipd_hopper,
     ipro_dst=ipro_dst,
     gpils_cont_hopper=gpils_cont_hopper,

@@ -72,7 +72,13 @@ class GPIPDState(NamedTuple):
 
 
 class GPIPD(GPILS):
-    def __init__(self, env: MOEnv, config: GPIPDConfig = GPIPDConfig(), log: bool = False):
+    def __init__(
+        self,
+        env: MOEnv,
+        config: GPIPDConfig = GPIPDConfig(),
+        log: bool = False,
+        termination_fn=None,
+    ):
         super().__init__(env, config, log=log)
         self.cfg: GPIPDConfig = config
         # model input: obs ⊕ one-hot action; output: delta_obs ⊕ reward_vec
@@ -81,7 +87,10 @@ class GPIPD(GPILS):
             output_dim=self.obs_dim + self.reward_dim,
             cfg=config.ensemble,
         )
-        self.model_env = ModelEnv(self.dynamics, termination_fn=get_termination_fn(env.name))
+        self.model_env = ModelEnv(
+            self.dynamics,
+            termination_fn=termination_fn if termination_fn is not None else get_termination_fn(env.name),
+        )
 
     def init_state(self, key: jax.Array | None = None) -> GPIPDState:  # type: ignore[override]
         key = key if key is not None else jax.random.key(self.cfg.seed)

@@ -118,7 +118,13 @@ class ProbabilisticEnsemble:
         n_tr = x_tr.shape[0]
         steps = max(n_tr // cfg.batch_size, 1)
 
-        def epoch(ts, k):
+        def holdout_mse(params):
+            mean_h, _ = self._apply_shared(params, x_hold)
+            return jnp.mean((mean_h - y_hold[None]) ** 2, axis=(1, 2))  # (E,)
+
+        def epoch(carry, k):
+            ts, best_params, best_mse = carry
+
             def step(ts, kk):
                 idx = jax.random.randint(kk, (cfg.num_members, cfg.batch_size), 0, n_tr)
                 xb, yb = x_tr[idx], y_tr[idx]  # (E, B, ...)
@@ -133,12 +139,30 @@ class ProbabilisticEnsemble:
                 return ts.apply_gradients(grads=grads), loss
 
             ts, losses = jax.lax.scan(step, ts, jax.random.split(k, steps))
-            return ts, jnp.mean(losses)
+            # best-on-holdout per-member snapshot: the static-shape analog of
+            # the reference's early stopping (probabilistic_ensemble.py:196-290
+            # trains until max_epochs_since_update without holdout improvement
+            # and keeps the best weights) — we train the full epoch budget and
+            # keep, per member, the params of its best holdout epoch.
+            mse = holdout_mse(ts.params)
+            improved = mse < best_mse  # (E,)
+            best_mse = jnp.where(improved, mse, best_mse)
 
-        ts, losses = jax.lax.scan(epoch, state.ts, jax.random.split(key, cfg.epochs))
-        mean_h, _ = self._apply_shared(ts.params, x_hold)
-        mse = jnp.mean((mean_h - y_hold[None]) ** 2, axis=(1, 2))  # (E,)
-        _, elites = jax.lax.top_k(-mse, self.cfg.num_elites)
+            def sel(b, c):
+                imp = improved.reshape((-1,) + (1,) * (c.ndim - 1))
+                return jnp.where(imp, c, b)
+
+            best_params = jax.tree.map(sel, best_params, ts.params)
+            return (ts, best_params, best_mse), jnp.mean(losses)
+
+        init = (state.ts, state.ts.params, jnp.full((cfg.num_members,), jnp.inf))
+        (ts, best_params, best_mse), losses = jax.lax.scan(
+            epoch, init, jax.random.split(key, cfg.epochs)
+        )
+        # carry the optimizer forward but serve predictions from the best
+        # holdout snapshot; elites are the best members by holdout MSE
+        ts = ts.replace(params=best_params)
+        _, elites = jax.lax.top_k(-best_mse, self.cfg.num_elites)
         return EnsembleState(ts=ts, elite_idx=elites, in_mean=in_mean, in_std=in_std), jnp.mean(losses)
 
     @partial(jax.jit, static_argnums=(0,))

@@ -33,6 +33,27 @@ def test_pallas_nd_mask_dedup_matches_jnp():
     assert bool(jnp.array_equal(ref, got))
 
 
+def test_ensemble_fit_best_on_holdout():
+    """The ensemble fit keeps each member's best-on-holdout params (the
+    static-shape analog of the reference's early stopping) and actually
+    learns a simple deterministic map."""
+    from morl_baselines_tpu.models.dynamics import EnsembleConfig, ProbabilisticEnsemble
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-1, 1, size=(2048, 3)).astype(np.float32)
+    Y = np.stack([X[:, 0] + X[:, 1], X[:, 2] * 2.0], axis=-1).astype(np.float32)
+    ens = ProbabilisticEnsemble(
+        3, 2, EnsembleConfig(num_members=3, num_elites=2, hidden=(64, 64), epochs=15, batch_size=128)
+    )
+    st = ens.init_state(jax.random.key(0))
+    st, loss = ens.fit(st, jnp.asarray(X), jnp.asarray(Y), jax.random.key(1))
+    sample, unc = ens.predict(st, jnp.asarray(X[:64]), jax.random.key(2))
+    err = float(np.mean(np.abs(np.asarray(sample) - Y[:64])))
+    assert err < 0.25, err
+    assert np.asarray(unc).shape == (64,)
+    assert int(st.elite_idx.shape[0]) == 2
+
+
 def test_minecart_model_termination():
     """Imagined minecart transitions terminate on an out->in base crossing
     with cargo (reference termination_fn_minecart utils.py:35-45; our env

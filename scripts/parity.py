@@ -292,9 +292,18 @@ def _gpipd_minecart_base(seed: int, name: str, **overrides):
 
 
 def gpipd_minecart_nodyna(seed: int):
-    """Ablation A: GTD priorities + recompute WITHOUT imagined data
-    (dyna=False). If this learns and retains, the forgetting force is the
-    model-generated batch half teaching near-zero sale values."""
+    """The r4 CANONICAL GPI-PD minecart operating point: envelope-target GTD
+    priorities + per-new-weight recompute WITHOUT imagined data (dyna=False).
+
+    The instrumented ablations (results/r4/RESULTS_r4.md) show that at the
+    150k reference budget the prioritization alone reproduces the paper's
+    sample-efficiency claim (HV 9.2 by 120k, eval/mul = 0.0 from 130k),
+    while dyna half-batches from our fixed-budget model fit dilute the
+    rare-sale gradient signal and prevent/undo ignition (seeds 0-1 of
+    parity_gpipd_minecart, gpipd_minecart_strongmodel). The reference gets
+    away with dyna by fitting its model on the whole buffer to convergence
+    every 250 steps; closing that gap fully is future work (the fit now
+    keeps best-on-holdout params as a first step)."""
     return _gpipd_minecart_base(seed, "gpipd_minecart_nodyna", dyna=False)
 
 

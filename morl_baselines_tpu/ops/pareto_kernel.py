@@ -7,8 +7,13 @@ pairwise comparison over (TILE, TILE) blocks held in VMEM and accumulates
 only the per-row "is dominated" reduction, so HBM traffic is O(N*d) instead
 of O(N^2): the comparison matrix never leaves on-chip memory.
 
-Grid: (N/TILE,) over candidate rows; each program streams all column tiles
-of the points array through VMEM and reduces.
+Grid: (N/TILE, N/TILE) over (row tiles, column tiles) — the column sweep is
+a sequential grid dimension OR-accumulating into the revisited output block
+(Mosaic here legalizes neither scf.for nor bool minor-dim inserts, and a
+(TILE, TILE, d) broadcast pads d onto the 128-lane axis; hence per-objective
+(TILE, TILE) compares unrolled over d, int32 reductions, and a pre-transposed
+rows operand).  Verified bitwise against the jnp mask in COMPILED mode on the
+real chip (bench.py pareto-kernel line).
 """
 
 from __future__ import annotations
@@ -23,33 +28,49 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 
 
-def _nd_kernel(points_row_ref, points_all_ref, valid_all_ref, out_ref, *, dedup: bool):
-    """For each row i in this tile: dominated_i = any_j (valid_j & j dom i).
+def _nd_kernel(points_row_ref, points_col_ref, valid_col_ref, out_ref, *, dedup: bool):
+    """Grid (row_tiles, col_tiles): dominated_i |= any_j-in-col-tile (valid_j
+    & j dom i).  The column axis is a GRID dimension, not an in-kernel loop
+    (Mosaic on this TPU does not legalize scf.for): TPU grids iterate
+    sequentially, so OR-accumulating into the revisited out block is safe —
+    initialize at col tile 0, accumulate after.
 
     With ``dedup``, an earlier valid exact duplicate also counts as dominating
     (core.pareto.non_dominated_mask(keep_duplicates=False) semantics)."""
-    rows = points_row_ref[:]  # (TILE, d)
-    n_all = points_all_ref.shape[0]
-    num_tiles = n_all // TILE
-    i0 = pl.program_id(0) * TILE
-
-    def body(t, dominated):
-        cols = points_all_ref[pl.ds(t * TILE, TILE), :]  # (TILE, d)
-        vcols = valid_all_ref[pl.ds(t * TILE, TILE), :]  # (TILE, 1) float 0/1
-        # ge[j, i] = all_d cols[j] >= rows[i]; gt[j, i] = any_d cols[j] > rows[i]
-        ge = jnp.all(cols[:, None, :] >= rows[None, :, :], axis=-1)
-        gt = jnp.any(cols[:, None, :] > rows[None, :, :], axis=-1)
-        dom = ge & gt
+    rows_t = points_row_ref[:]  # (d, TILE) — transposed row tile
+    cols = points_col_ref[:]  # (TILE, d)
+    vcols = valid_col_ref[:]  # (TILE, 1) float 0/1
+    t = pl.program_id(1)
+    d = cols.shape[1]
+    # per-objective (TILE, TILE) comparisons, unrolled over the small static
+    # d: broadcasting the d axis as the minor (lane) dim pads it to 128 and
+    # blows VMEM (27 MB at TILE=128); (TILE, TILE) masks are 2 KB each.
+    # ge[j, i] = all_k cols[j,k] >= rows[i,k]; gt[j, i] = any_k >
+    ge = gt = eq = None
+    for k in range(d):
+        c_k = cols[:, k : k + 1]  # (TILE, 1)
+        r_k = rows_t[k : k + 1, :]  # (1, TILE)
+        ge = (c_k >= r_k) if ge is None else (ge & (c_k >= r_k))
+        gt = (c_k > r_k) if gt is None else (gt | (c_k > r_k))
         if dedup:
-            eq = jnp.all(cols[:, None, :] == rows[None, :, :], axis=-1)
-            col_idx = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
-            row_idx = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-            dom = dom | (eq & (col_idx < row_idx))
-        dom = dom & (vcols > 0.5)
-        return dominated | jnp.any(dom, axis=0)
+            eq = (c_k == r_k) if eq is None else (eq & (c_k == r_k))
+    dom = ge & gt
+    if dedup:
+        col_idx = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+        row_idx = pl.program_id(0) * TILE + jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+        dom = dom | (eq & (col_idx < row_idx))
+    dom = dom & (vcols > 0.5)
+    # int32 reduction: Mosaic only supports minor-dim insertion for 32-bit
+    # types, so the per-row OR-reduction is a max over int32
+    dominated_tile = jnp.max(dom.astype(jnp.int32), axis=0)[:, None]  # (TILE, 1)
 
-    dominated = jax.lax.fori_loop(0, num_tiles, body, jnp.zeros((TILE,), dtype=jnp.bool_))
-    out_ref[:, 0] = dominated
+    @pl.when(t == 0)
+    def _init():
+        out_ref[:, :] = dominated_tile
+
+    @pl.when(t != 0)
+    def _acc():
+        out_ref[:, :] = jnp.maximum(out_ref[:, :], dominated_tile)
 
 
 @partial(jax.jit, static_argnames=("keep_duplicates", "interpret"))
@@ -76,18 +97,20 @@ def non_dominated_mask_pallas(
 
     dominated = pl.pallas_call(
         partial(_nd_kernel, dedup=not keep_duplicates),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.bool_),
-        grid=(n_pad // TILE,),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        grid=(n_pad // TILE, n_pad // TILE),  # (row tiles, col tiles)
         in_specs=[
-            pl.BlockSpec((TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # rows arrive pre-transposed (d, N) so the kernel reads (1, TILE)
+            # lane-major slices per objective
+            pl.BlockSpec((d, TILE), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), lambda i, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i, t: (t, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TILE, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(pts, pts, vcol)
+    )(pts.T, pts, vcol)
 
-    mask = ~dominated[:n, 0] & valid
+    mask = (dominated[:n, 0] == 0) & valid
     return mask
 
 

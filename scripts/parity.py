@@ -400,11 +400,16 @@ def ipro_dst(seed: int):
     ipro = IPRO(
         env,
         IPROConfig(
-            tolerance=0.05, max_iterations=3 if SMOKE else 30,
-            iter_total_timesteps=1_024 if SMOKE else 40_000,
+            # the reference's default oracle budget is 500k steps/iteration
+            # (outer_loop.py iter_total_timesteps); 40k collapsed the init
+            # extrema onto the nearest treasure (first r4 run) — 150k at 64
+            # envs finds the deep treasures
+            tolerance=0.05, max_iterations=3 if SMOKE else 12,
+            iter_total_timesteps=1_024 if SMOKE else 150_000,
             offset=1.0, seed=seed,
-            ppo=NLMOPPOConfig(num_envs=32, num_steps=64, update_epochs=4,
-                              num_minibatches=4, gamma=0.99, seed=seed),
+            ppo=NLMOPPOConfig(num_envs=64, num_steps=64, update_epochs=4,
+                              num_minibatches=4, gamma=0.99, ent_coef=0.02,
+                              seed=seed),
         ),
         log=True,
     )

@@ -16,6 +16,7 @@ run() {
 }
 
 run 4500 gpipd_minecart_nodyna --seeds=1,2
+run 3600 ipro_dst --seeds=0
 run 7200 envelope_minecart --seeds=6,7,8,9
 run 3600 pgmorl_halfcheetah --seeds=2
 run 3600 gpipd_hopper --seeds=0

@@ -254,6 +254,22 @@ def _limit_tau(model: PlanarModel, q, qd, k_lim: float, d_lim: float):
     return -k_lim * over + k_lim * under - jnp.where(viol, d_lim * qd, 0.0)
 
 
+def _solve_unrolled(M, rhs):
+    """Solve M x = rhs by Gaussian elimination unrolled over the static DOF
+    count (M is the SPD mass matrix, so no pivoting is needed).  The batched
+    LAPACK-style `jnp.linalg.solve` kernel is 3.4x slower on TPU at these
+    tiny sizes (scripts/probe_planar.py); unrolled elimination is pure fused
+    VPU ops."""
+    n = M.shape[-1]
+    A = jnp.concatenate([M, rhs[:, None]], axis=-1)  # (n, n+1)
+    for k in range(n):
+        row = A[k, :] / A[k, k]
+        A = A.at[k, :].set(row)
+        factors = A[:, k].at[k].set(0.0)
+        A = A - factors[:, None] * row[None, :]
+    return A[:, n]
+
+
 def _qdd(model: PlanarModel, q, qd, tau):
     """Solve M(q) qdd = tau + dT/dq - dV/dq - (d(dT/dqd)/dq) qd.
 
@@ -265,9 +281,11 @@ def _qdd(model: PlanarModel, q, qd, tau):
     M = jax.jacfwd(p_fn, argnums=1)(q, qd)
     dTdq = jax.grad(T, argnums=0)(q, qd)
     dVdq = jax.grad(lambda q_: _potential(model, q_))(q)
-    coriolis = jax.jacfwd(p_fn, argnums=0)(q, qd) @ qd
+    # (d p/d q) qd as ONE directional jvp — materializing the full (nq, nq)
+    # Jacobian with jacfwd and contracting costs nq forward passes
+    coriolis = jax.jvp(lambda q_: p_fn(q_, qd), (q,), (qd,))[1]
     rhs = tau + dTdq - dVdq - coriolis
-    return jnp.linalg.solve(M, rhs)
+    return _solve_unrolled(M, rhs)
 
 
 class PlanarState(NamedTuple):

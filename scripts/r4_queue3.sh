@@ -21,4 +21,13 @@ run 7200 envelope_minecart --seeds=6,7,8,9
 run 3600 pgmorl_halfcheetah --seeds=2
 run 3600 gpipd_hopper --seeds=0
 run 3600 gpils_cont_hopper_500k --seeds=0
+
+echo "--- profile_population rerun (post physics fix) $(date +%H:%M:%S)" >> "$LOG"
+timeout 2700 python scripts/profile_population.py --sweep \
+  > /root/repo/results/r4/profile_population_postfix.jsonl 2>> "$LOG"
+echo "--- rc=$?" >> "$LOG"
+
+echo "--- bench rerun (post physics fix) $(date +%H:%M:%S)" >> "$LOG"
+timeout 4500 python bench.py > /root/repo/results/r4/bench_r4_postfix.jsonl 2>> "$LOG"
+echo "--- rc=$?" >> "$LOG"
 echo "=== r4 queue3 done $(date) ===" >> "$LOG"

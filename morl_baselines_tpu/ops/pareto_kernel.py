@@ -1,11 +1,13 @@
 """Pallas TPU kernel: tiled Pareto non-dominated mask for large fronts.
 
 The jnp implementation (core/pareto.py) materializes the full (N, N)
-comparison matrix in HBM.  For archive-scale fronts (N in the thousands —
-e.g. merged multi-host eval returns before pruning) this kernel tiles the
-pairwise comparison over (TILE, TILE) blocks held in VMEM and accumulates
-only the per-row "is dominated" reduction, so HBM traffic is O(N*d) instead
-of O(N^2): the comparison matrix never leaves on-chip memory.
+comparison working set in HBM and OOMs between N=65536 and N=131072 on one
+chip; this kernel tiles the pairwise comparison over (TILE, TILE) blocks
+held in VMEM and accumulates only the per-row "is dominated" reduction, so
+HBM traffic is O(N*d) instead of O(N^2) — N=131072 runs in 0.50s.  Below
+the memory cliff XLA's fused mask is at parity speed-wise (0.72-1.06x
+measured), so the auto dispatch (PALLAS_MIN_N) reserves the kernel for the
+archive scales where the jnp path cannot run at all.
 
 Grid: (N/TILE, N/TILE) over (row tiles, column tiles) — the column sweep is
 a sequential grid dimension OR-accumulating into the revisited output block
@@ -114,9 +116,12 @@ def non_dominated_mask_pallas(
     return mask
 
 
-# Pallas pays off once the (N, N) comparison matrix stops fitting in cache-
-# friendly HBM traffic; below this the jnp mask's single fused kernel wins.
-PALLAS_MIN_N = 512
+# Measured on the real chip (r4): XLA's fused jnp mask is at parity with the
+# kernel up to N=65536 (0.72-1.06x) but OOMs between 65536 and 131072 rows;
+# the tiled kernel handles N=131072 in 0.50s (spot-checked correct).  So the
+# kernel is the MEMORY-cliff path, not a speed win: dispatch to it only where
+# the jnp mask would materialize an infeasible (N, N) working set.
+PALLAS_MIN_N = 100_000
 
 
 def non_dominated_mask_auto(

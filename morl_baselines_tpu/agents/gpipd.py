@@ -59,7 +59,11 @@ class GPIPDConfig(GPILSConfig):
     dynamics_rollout_len: int = 1
     dynamics_rollout_starts: int = 512
     dynamics_uncertainty_threshold: float = 0.5
-    dynamics_fit_samples: int = 4096
+    # reference protocol: fit the WHOLE buffer to convergence (holdout early
+    # stopping) every refit (probabilistic_ensemble.py:196-290, the r4
+    # verdict's measured reason dyna-on minecart failed with fixed-budget fits)
+    dynamics_fit_to_convergence: bool = True
+    dynamics_fit_samples: int = 4096  # legacy fixed-budget path only
     dyna_batch_share: float = 0.5  # fraction of each update batch from imagined data
     dyna_buffer_size: int = 50_000
     ensemble: EnsembleConfig = EnsembleConfig(num_members=5, num_elites=2, epochs=10)
@@ -105,13 +109,22 @@ class GPIPD(GPILS):
 
     @partial(jax.jit, static_argnums=(0,))
     def fit_dynamics(self, state: GPIPDState, key: jax.Array):
-        """Fit ensemble on a fixed-size sample of real transitions (reference :748-754).
+        """Fit the ensemble on real transitions (reference :748-754).
 
-        Rows are sampled UNIFORMLY even under PER: the model must fit the
-        data distribution, not the TD-error distribution (the reference fits
-        on the whole buffer)."""
-        k1, k2 = jax.random.split(key)
+        Default (``dynamics_fit_to_convergence``): the reference's protocol —
+        the WHOLE buffer with per-member bootstrap and holdout early stopping
+        (probabilistic_ensemble.py:196-290).  Legacy path: a fixed-budget fit
+        on ``dynamics_fit_samples`` uniformly sampled rows (uniform even
+        under PER: the model must fit the data distribution, not the
+        TD-error distribution)."""
         buf = state.base.buffer
+        if self.cfg.dynamics_fit_to_convergence:
+            a_onehot = jax.nn.one_hot(buf.data.action.astype(jnp.int32), self.env.num_actions)
+            X = jnp.concatenate([buf.data.obs, a_onehot], axis=-1)
+            Y = jnp.concatenate([buf.data.next_obs - buf.data.obs, buf.data.reward], axis=-1)
+            ens, loss, _epochs = self.dynamics.fit_converged(state.ens, X, Y, buf.size, key)
+            return state._replace(ens=ens), loss
+        k1, k2 = jax.random.split(key)
         idx = jax.random.randint(k1, (self.cfg.dynamics_fit_samples,), 0, jnp.maximum(buf.size, 1))
         batch = jax.tree.map(lambda x: x[idx], buf.data)
         a_onehot = jax.nn.one_hot(batch.action.astype(jnp.int32), self.env.num_actions)

@@ -57,7 +57,10 @@ class GPIPDContinuousConfig(GPILSContinuousConfig):
     dynamics_rollout_len: int = 5
     dynamics_rollout_starts: int = 512
     dynamics_uncertainty_threshold: float = 2.0
-    dynamics_fit_samples: int = 4096
+    # reference protocol: whole-buffer fit with holdout early stopping
+    # (probabilistic_ensemble.py:196-290); False = legacy fixed-budget fit
+    dynamics_fit_to_convergence: bool = True
+    dynamics_fit_samples: int = 4096  # legacy fixed-budget path only
     dyna_batch_share: float = 0.5  # fraction of each update batch from imagined data
     dyna_buffer_size: int = 50_000
     ensemble: EnsembleConfig = EnsembleConfig(num_members=5, num_elites=2, epochs=10)
@@ -113,11 +116,18 @@ class GPIPDContinuous(GPILSContinuous):
     def fit_dynamics(self, state: GPIPDContState, key: jax.Array):
         """Fit ensemble on real transitions (reference :487-500).
 
-        Rows are sampled UNIFORMLY even under PER: the model must fit the
-        data distribution, not the TD-error distribution (the reference fits
-        on the whole buffer)."""
-        k1, k2 = jax.random.split(key)
+        Default (``dynamics_fit_to_convergence``): the reference's whole-buffer
+        fit with per-member bootstrap and holdout early stopping.  Legacy
+        path: fixed-budget fit on uniformly sampled rows (uniform even under
+        PER: the model must fit the data distribution, not the TD-error
+        distribution)."""
         buf = state.base.buffer
+        if self.cfg.dynamics_fit_to_convergence:
+            X = jnp.concatenate([buf.data.obs, buf.data.action], axis=-1)
+            Y = jnp.concatenate([buf.data.next_obs - buf.data.obs, buf.data.reward], axis=-1)
+            ens, loss, _epochs = self.dynamics.fit_converged(state.ens, X, Y, buf.size, key)
+            return state._replace(ens=ens), loss
+        k1, k2 = jax.random.split(key)
         idx = jax.random.randint(k1, (self.cfg.dynamics_fit_samples,), 0, jnp.maximum(buf.size, 1))
         batch = jax.tree.map(lambda x: x[idx], buf.data)
         X = jnp.concatenate([batch.obs, batch.action], axis=-1)

@@ -56,8 +56,14 @@ class EnsembleConfig:
     hidden: tuple = (200, 200, 200, 200)
     learning_rate: float = 1e-3
     batch_size: int = 256
-    epochs: int = 20
+    epochs: int = 20  # fixed budget of the legacy ``fit`` path
     holdout_frac: float = 0.1
+    # ``fit_converged`` (the reference protocol, probabilistic_ensemble.py:196-290)
+    max_epochs: int = 200
+    patience: int = 5  # epochs without >improvement_tol relative holdout gain
+    improvement_tol: float = 0.01
+    max_holdout: int = 5000
+    weight_decay: float = 7.5e-5  # reference :223 uses per-layer 2.5e-5..1e-4
 
 
 class EnsembleState(NamedTuple):
@@ -159,11 +165,126 @@ class ProbabilisticEnsemble:
         (ts, best_params, best_mse), losses = jax.lax.scan(
             epoch, init, jax.random.split(key, cfg.epochs)
         )
-        # carry the optimizer forward but serve predictions from the best
-        # holdout snapshot; elites are the best members by holdout MSE
-        ts = ts.replace(params=best_params)
+        # serve predictions from the best holdout snapshot; the Adam moments
+        # are re-initialised to match them (the final epoch's moments belong
+        # to the final params, not the snapshot — r4 advisor finding)
+        ts = ts.replace(params=best_params, opt_state=ts.tx.init(best_params))
         _, elites = jax.lax.top_k(-best_mse, self.cfg.num_elites)
         return EnsembleState(ts=ts, elite_idx=elites, in_mean=in_mean, in_std=in_std), jnp.mean(losses)
+
+    def _decay_mask(self, params):
+        """Weight decay on kernels only (the reference's Adam L2 skips the
+        logvar-bound params, probabilistic_ensemble.py:223-229)."""
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: getattr(path[-1], "key", None) == "kernel", params
+        )
+
+    @partial(jax.jit, static_argnums=(0,))
+    def fit_converged(self, state: EnsembleState, X: jnp.ndarray, Y: jnp.ndarray, n: jnp.ndarray, key: jax.Array):
+        """Whole-buffer fit-to-convergence — the reference's fit protocol
+        (probabilistic_ensemble.py:196-290), jit-friendly:
+
+        - ``X``/``Y`` are (capacity, ...) padded arrays; ``n`` (traced) counts
+          the valid rows.  Input stats, holdout and bootstrap all mask on n.
+        - Disjoint holdout of min(n//10, max_holdout) rows; per-member
+          bootstrap of the remaining rows, drawn with replacement ONCE per fit
+          (reference :242 ``idxs = randint(n_train, size=(E, n_train))``) —
+          each batch then resamples within its member's fixed multiset, the
+          static-shape analog of the reference's per-epoch row shuffle.
+        - lax.while_loop over epochs: stop when no member improves its best
+          holdout MSE by >improvement_tol (relative) for ``patience``
+          consecutive epochs, or at max_epochs (reference :253-286); a
+          dynamic-trip-count fori_loop runs ceil(n_train/batch) steps/epoch.
+        - Fresh Adam (+ kernel L2) every fit (reference :225-229); the FINAL
+          params are kept at the early stop, elites by final holdout MSE
+          (reference keeps the stopped weights, not a best snapshot).
+
+        Returns (new_state, mean_holdout_mse, epochs_run).
+        """
+        cfg = self.cfg
+        cap = X.shape[0]
+        E = cfg.num_members
+        n = jnp.clip(n, 2, cap)
+        valid = (jnp.arange(cap) < n)[:, None]
+        denom = n.astype(jnp.float32)
+        in_mean = jnp.sum(jnp.where(valid, X, 0.0), axis=0) / denom
+        in_var = jnp.sum(jnp.where(valid, (X - in_mean) ** 2, 0.0), axis=0) / denom
+        in_std = jnp.maximum(jnp.sqrt(in_var), 1e-6)
+        Xn = (X - in_mean) / in_std
+
+        k_perm, k_boot, key = jax.random.split(key, 3)
+        # random permutation of the valid rows first: invalid rows sort last
+        scores = jax.random.uniform(k_perm, (cap,)) + (jnp.arange(cap) >= n) * 10.0
+        perm = jnp.argsort(scores)
+        hold_cap = min(max(int(cap * cfg.holdout_frac), 1), cfg.max_holdout)  # static
+        n_hold = jnp.clip(n // 10, 1, hold_cap)
+        x_hold, y_hold = Xn[perm[:hold_cap]], Y[perm[:hold_cap]]
+        hold_mask = (jnp.arange(hold_cap) < n_hold)[None, :, None]
+        n_tr = jnp.maximum(n - n_hold, 1)
+        # fixed per-member bootstrap over the training portion
+        boot_rows = perm[n_hold + jax.random.randint(k_boot, (E, cap), 0, n_tr)]
+        num_batches = jnp.maximum((n_tr + cfg.batch_size - 1) // cfg.batch_size, 1)
+
+        def holdout_mse(params):
+            mean_h, _ = self._apply_shared(params, x_hold)  # (E, H, out)
+            se = jnp.where(hold_mask, (mean_h - y_hold[None]) ** 2, 0.0)
+            return jnp.sum(se, axis=(1, 2)) / (n_hold.astype(jnp.float32) * y_hold.shape[-1])
+
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=self._decay_mask),
+            optax.adam(cfg.learning_rate),
+        )
+
+        def run_epoch(params, opt_state, k):
+            def batch_step(b, carry):
+                params, opt_state = carry
+                pos = jax.random.randint(jax.random.fold_in(k, b), (E, cfg.batch_size), 0, n_tr)
+                rows = jnp.take_along_axis(boot_rows, pos, axis=1)  # (E, B)
+                xb, yb = Xn[rows], Y[rows]
+
+                def loss_fn(p):
+                    mean, logvar = self._apply_per_member(p, xb)
+                    inv_var = jnp.exp(-logvar)
+                    nll = 0.5 * (((mean - yb) ** 2) * inv_var + logvar)
+                    return jnp.sum(jnp.mean(nll, axis=(1, 2)))
+
+                grads = jax.grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state
+
+            return jax.lax.fori_loop(0, num_batches, batch_step, (params, opt_state))
+
+        def cond(carry):
+            _, _, _, no_imp, epoch, _, _ = carry
+            return (epoch < cfg.max_epochs) & (no_imp < cfg.patience)
+
+        def body(carry):
+            params, opt_state, best, no_imp, epoch, kk, _ = carry
+            kk, ke = jax.random.split(kk)
+            params, opt_state = run_epoch(params, opt_state, ke)
+            mse = holdout_mse(params)
+            improved = ((best - mse) / jnp.maximum(best, 1e-12) > cfg.improvement_tol) | (epoch == 0)
+            best = jnp.where(improved, mse, best)
+            no_imp = jnp.where(jnp.any(improved), 0, no_imp + 1)
+            return params, opt_state, best, no_imp, epoch + 1, kk, mse
+
+        init = (
+            state.ts.params,
+            tx.init(state.ts.params),
+            jnp.full((E,), jnp.inf),
+            jnp.int32(0),
+            jnp.int32(0),
+            key,
+            jnp.full((E,), jnp.inf),
+        )
+        params, _, _, _, epochs, _, last_mse = jax.lax.while_loop(cond, body, init)
+        _, elites = jax.lax.top_k(-last_mse, cfg.num_elites)
+        ts = state.ts.replace(params=params)
+        return (
+            EnsembleState(ts=ts, elite_idx=elites, in_mean=in_mean, in_std=in_std),
+            jnp.mean(last_mse),
+            epochs,
+        )
 
     @partial(jax.jit, static_argnums=(0,))
     def predict(self, state: EnsembleState, x: jnp.ndarray, key: jax.Array):
@@ -228,7 +349,10 @@ def termination_fn_minecart(obs, act, next_obs, rew=None):
     """
     in_base = jnp.sqrt(jnp.einsum("ij,ij->i", next_obs[:, 0:2], next_obs[:, 0:2])) < 0.15
     was_out = jnp.sqrt(jnp.einsum("ij,ij->i", obs[:, 0:2], obs[:, 0:2])) >= 0.15
-    has_cargo = jnp.sum(obs[:, 6:8], axis=-1) > 0.0
+    # cargo lives at obs[5:7] in the 7-dim layout above (r4 advisor finding:
+    # 6:8 silently clipped to the single index 6, so carts carrying only ore
+    # type 0 never triggered imagined-rollout termination)
+    has_cargo = jnp.sum(obs[:, 5:7], axis=-1) > 0.0
     return in_base & was_out & has_cargo
 
 

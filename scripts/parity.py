@@ -31,6 +31,8 @@ sys.path.insert(0, "/root/repo")
 try:
     import jax
 
+    if bool(int(os.environ.get("PARITY_CPU", "0"))):  # smoke-test off-chip
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 except Exception:
@@ -38,7 +40,7 @@ except Exception:
 
 from morl_baselines_tpu.utils.logging import MetricLogger
 
-OUT = Path("/tmp/parity_smoke") if SMOKE else Path("/root/repo/results/r4")
+OUT = Path("/tmp/parity_smoke") if SMOKE else Path("/root/repo/results/r5")
 
 
 def _logger(name: str, seed: int) -> MetricLogger:
@@ -170,21 +172,23 @@ def gpils_minecart(seed: int, variant: dict | None = None):
 
 
 def gpipd_minecart(seed: int):
-    """GPI-PD with its full namesake machinery (envelope-target GTD
-    priorities + per-new-weight buffer-wide priority recompute, r4) on
-    minecart at the reference example's exact ratios
+    """GPI-PD, REFERENCE DEFAULTS (dyna on) with the r5 fit-to-convergence
+    dynamics protocol, on minecart at the reference example's exact ratios
     (examples/gpi_pd_minecart.py, 150k steps = 15 x 10k):
 
     - 20 gradient updates per env-step (reference default g=20) -> 320 per
       16-env iteration, single-update warmup until step 5000 (reference
       update() :419 / dynamics_rollout_starts=5000).
-    - 25k-start len-1 imagined rollouts + model fit every ~250 env-steps
-      (16 iters x 16 envs), uncertainty threshold 1.5, dyna buffer 1e5,
+    - model fit = WHOLE buffer to convergence (bootstrap + holdout early
+      stopping, reference probabilistic_ensemble.py:196-290) every ~250
+      env-steps; dynamics arch [256,256,256] (example :44); 25k-start len-1
+      imagined rollouts, uncertainty threshold 1.5, dyna buffer 1e5,
       real_ratio 0.5.
     - eps 1 -> 0.05 over a third of the run (per-env-step clock), target
       sync every ~200 env-steps (12 iters), buffer 2e5 >= steps."""
     from morl_baselines_tpu.agents import GPIPD, GPIPDConfig
     from morl_baselines_tpu.envs import make
+    from morl_baselines_tpu.models.dynamics import EnsembleConfig
 
     env = make("minecart-v0")
     agent = GPIPD(
@@ -199,9 +203,13 @@ def gpipd_minecart(seed: int):
             dynamics_train_freq=16, dynamics_rollout_freq=16,
             dynamics_rollout_len=1, dynamics_rollout_starts=256 if SMOKE else 25_000,
             dynamics_uncertainty_threshold=1.5,
-            dynamics_fit_samples=256 if SMOKE else 16_384,
+            dynamics_fit_to_convergence=True,
             dyna_buffer_size=2_048 if SMOKE else 100_000,
             dyna_batch_share=0.5,
+            ensemble=EnsembleConfig(
+                num_members=5, num_elites=2, hidden=(256, 256, 256),
+                max_epochs=8 if SMOKE else 200,
+            ),
         ),
         log=True,
     )
@@ -271,6 +279,9 @@ def _gpipd_minecart_base(seed: int, name: str, **overrides):
         dynamics_train_freq=16, dynamics_rollout_freq=16,
         dynamics_rollout_len=1, dynamics_rollout_starts=256 if SMOKE else 25_000,
         dynamics_uncertainty_threshold=1.5,
+        # the r4 ablations are pinned to the r4 fixed-budget fit; the new
+        # reference-protocol convergence fit is the gpipd_minecart default
+        dynamics_fit_to_convergence=False,
         dynamics_fit_samples=256 if SMOKE else 16_384,
         dyna_buffer_size=2_048 if SMOKE else 100_000,
         dyna_batch_share=0.5,
@@ -340,6 +351,9 @@ def gpipd_hopper(seed: int):
             dynamics_train_freq=8, dynamics_rollout_freq=8,
             dynamics_rollout_len=5, dynamics_rollout_starts=256 if SMOKE else 8_192,
             dynamics_uncertainty_threshold=2.0,
+            # r5: reference whole-buffer fit-to-convergence protocol (seeds
+            # 0-2 of r4 ran the fixed-budget fit; r5 reruns all seeds)
+            dynamics_fit_to_convergence=not SMOKE,
             dynamics_fit_samples=256 if SMOKE else 8_192,
             dyna_buffer_size=2_048 if SMOKE else 200_000,
             dyna_batch_share=0.9,

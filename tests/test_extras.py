@@ -61,14 +61,50 @@ def test_minecart_model_termination():
     from morl_baselines_tpu.models.dynamics import get_termination_fn
 
     fn = get_termination_fn("minecart-v0")
-    # obs: [pos(2), speed, sin, cos, cargo(2)]
+    # obs: [pos(2), speed, sin, cos, cargo(2)] — cargo at indices 5:7
     out_with_cargo = np.array([0.5, 0.5, 0.1, 0.0, 1.0, 0.4, 0.3], dtype=np.float32)
     out_no_cargo = np.array([0.5, 0.5, 0.1, 0.0, 1.0, 0.0, 0.0], dtype=np.float32)
     in_base = np.array([0.05, 0.05, 0.1, 0.0, 1.0, 0.4, 0.3], dtype=np.float32)
-    obs = jnp.asarray(np.stack([out_with_cargo, out_no_cargo, in_base]))
-    nxt = jnp.asarray(np.stack([in_base, in_base, in_base]))
+    # only ore type 0 in the cart (common: mines are specialized) — the r4
+    # advisor found the old 6:8 indexing silently missed this case
+    out_ore0_only = np.array([0.5, 0.5, 0.1, 0.0, 1.0, 0.8, 0.0], dtype=np.float32)
+    obs = jnp.asarray(np.stack([out_with_cargo, out_no_cargo, in_base, out_ore0_only]))
+    nxt = jnp.asarray(np.stack([in_base, in_base, in_base, in_base]))
     term = np.asarray(fn(obs, None, nxt))
-    assert term.tolist() == [True, False, False]
+    assert term.tolist() == [True, False, False, True]
+
+
+def test_ensemble_fit_converged():
+    """The reference fit protocol (whole buffer, disjoint holdout, patience
+    early stop, reference probabilistic_ensemble.py:196-290): stops before
+    max_epochs on an easy map, masks padded rows, learns the map."""
+    from morl_baselines_tpu.models.dynamics import EnsembleConfig, ProbabilisticEnsemble
+
+    rng = np.random.default_rng(1)
+    cap, n = 4096, 3000
+    X = np.zeros((cap, 3), dtype=np.float32)
+    X[:n] = rng.uniform(-1, 1, size=(n, 3))
+    # padding rows carry garbage that must not leak into the fit
+    X[n:] = 1e6
+    Y = np.zeros((cap, 2), dtype=np.float32)
+    # noise floors the holdout MSE so the patience stop actually fires
+    Y[:n] = np.stack([X[:n, 0] + X[:n, 1], X[:n, 2] * 2.0], axis=-1) + 0.1 * rng.standard_normal(
+        (n, 2)
+    ).astype(np.float32)
+    Y[n:] = -1e6
+    ens = ProbabilisticEnsemble(
+        3,
+        2,
+        EnsembleConfig(num_members=3, num_elites=2, hidden=(64, 64), batch_size=128, max_epochs=60, patience=3),
+    )
+    st = ens.init_state(jax.random.key(0))
+    st, mse, epochs = ens.fit_converged(st, jnp.asarray(X), jnp.asarray(Y), jnp.int32(n), jax.random.key(1))
+    assert 0 < int(epochs) < 60, int(epochs)  # early-stopped, not capped
+    sample, unc = ens.predict(st, jnp.asarray(X[:64]), jax.random.key(2))
+    err = float(np.mean(np.abs(np.asarray(sample) - Y[:64])))
+    assert err < 0.4, err
+    assert float(mse) < 0.1, float(mse)
+    assert np.isfinite(np.asarray(sample)).all()
 
 
 def test_mujoco_host_adapter():

@@ -163,46 +163,50 @@ class IPRO(_IPROBase):
         self._rng = np.random.default_rng(config.seed)
 
     # -------------------------------------------------------- point-set algebra
+    #
+    # Both staircase sets evolve by the same local rule: a corner "hit" by a
+    # new point spawns one child per objective, where child i keeps every
+    # coordinate of the corner except the i-th, which moves to the new
+    # point's value.  We express that child set as an eye-mask select per
+    # corner and prune with a sign-parametrized extreme filter — same
+    # semantics as the reference's update_lower_points/update_upper_points
+    # (ipro.py:244-270), own formulation.
+
+    def _corner_children(self, corner: np.ndarray, vec: np.ndarray) -> np.ndarray:
+        """(d, d) children of one staircase corner: row i takes vec_i at
+        coordinate i and the corner's value elsewhere."""
+        take_vec = np.eye(self.reward_dim, dtype=bool)
+        return np.where(take_vec, np.asarray(vec)[None, :], np.asarray(corner)[None, :])
+
+    @staticmethod
+    def _keep_extremes(points: np.ndarray, sign: float) -> np.ndarray:
+        """Prune a staircase set to its extreme corners: sign=+1 keeps the
+        Pareto-maximal points (upper set), sign=-1 the minimal ones (lower)."""
+        pts = np.asarray(points, dtype=np.float64).reshape(-1, points.shape[-1])
+        return sign * filter_pareto_dominated(sign * pts)
 
     def update_lower_points(self, vec: np.ndarray) -> None:
-        """Staircase update of the lower set (reference ipro.py:258-270):
-        every lower point strictly dominated by ``vec`` is replaced by its d
-        axis-shifted children (coordinate i raised to vec_i), pruned to the
-        maximal (lower-Pareto) elements strictly below the ideal."""
-        d = self.reward_dim
+        """Lower-staircase update: corners strictly dominated by ``vec`` are
+        replaced by their children, kept only while strictly below the ideal."""
         dom = _batched_strict_dom(vec, self.lower_points)
-        to_keep = self.lower_points[~dom]
-        dominated = self.lower_points[dom]
-        if len(dominated):
-            shifted = np.stack([dominated] * d)  # (d, n_dom, d)
-            shifted[range(d), :, range(d)] = vec[:, None]
-            shifted = shifted.reshape(-1, d)
-            shifted = shifted[np.all(self.ideal > shifted, axis=-1)]
-            new = np.vstack((to_keep, shifted))
-        else:
-            new = to_keep
-        self.lower_points = -filter_pareto_dominated(-new)
+        pieces = [self.lower_points[~dom]]
+        for corner in self.lower_points[dom]:
+            children = self._corner_children(corner, vec)
+            pieces.append(children[np.all(children < self.ideal[None, :], axis=-1)])
+        self.lower_points = self._keep_extremes(np.vstack(pieces), -1.0)
 
     def update_upper_points(self, vec: np.ndarray) -> None:
-        """Symmetric staircase update of the upper set (reference :244-256)."""
-        d = self.reward_dim
-        # upper points that strictly dominate vec get shifted down onto it
+        """Upper-staircase update: corners strictly dominating ``vec`` are
+        replaced by their children, kept only while strictly above the nadir."""
+        up = self.upper_points
         dom = (
-            np.all(self.upper_points > np.asarray(vec)[None, :], axis=-1)
-            if len(self.upper_points)
-            else np.zeros((0,), bool)
+            np.all(up > np.asarray(vec)[None, :], axis=-1) if len(up) else np.zeros((0,), bool)
         )
-        to_keep = self.upper_points[~dom]
-        dominating = self.upper_points[dom]
-        if len(dominating):
-            shifted = np.stack([dominating] * d)
-            shifted[range(d), :, range(d)] = np.asarray(vec)[:, None]
-            shifted = shifted.reshape(-1, d)
-            shifted = shifted[np.all(shifted > self.nadir, axis=-1)]
-            new = np.vstack((to_keep, shifted))
-        else:
-            new = to_keep
-        self.upper_points = filter_pareto_dominated(new)
+        pieces = [up[~dom]]
+        for corner in up[dom]:
+            children = self._corner_children(corner, vec)
+            pieces.append(children[np.all(children > self.nadir[None, :], axis=-1)])
+        self.upper_points = self._keep_extremes(np.vstack(pieces), 1.0)
 
     # ----------------------------------------------------- referent selection
 
@@ -217,19 +221,19 @@ class IPRO(_IPROBase):
         return float(hypervolume(-points, -self.ideal))
 
     def compute_hvis(self, num: int | None = None) -> None:
-        """Score lower points by the hypervolume they would add and sort them
-        best-first (reference ipro.py:212-229: HV of pf ∪ completed ∪ {lp}
-        w.r.t. the ideal — the difference is proportional to the HV itself)."""
+        """Order the lower points so the most promising referent comes first
+        (reference ipro.py:212-229 scores HV of pf ∪ completed ∪ {lp} w.r.t.
+        the ideal).  Only a random subsample of at most ``hvi_samples``
+        candidates is scored; unscored points keep score 0 and sort last."""
         num = num or self.cfg.hvi_samples
+        n = len(self.lower_points)
+        if n == 0:
+            return
         anchors = np.vstack([np.asarray(self.pf).reshape(-1, self.reward_dim), self.completed])
-        hvis = np.zeros(len(self.lower_points))
-        chosen = self._rng.choice(
-            len(self.lower_points), min(num, len(self.lower_points)), replace=False
-        )
-        for i in chosen:
-            hvis[i] = self._hv_to_ideal(np.vstack((anchors, self.lower_points[i][None])))
-        order = np.argsort(hvis)[::-1]
-        self.lower_points = self.lower_points[order]
+        scores = np.zeros(n)
+        for i in self._rng.permutation(n)[:num]:
+            scores[i] = self._hv_to_ideal(np.vstack((anchors, self.lower_points[i][None])))
+        self.lower_points = self.lower_points[np.argsort(-scores, kind="stable")]
 
     def select_referent(self, method: str = "first") -> np.ndarray:
         """Best lower point by HVI (reference select_referent ipro.py:237-242)."""
@@ -330,12 +334,18 @@ class IPRO(_IPROBase):
                         new_subs.append((lower, old_vec))
                         break
                 else:
-                    if _strict_dom(lower, referent):
+                    # WEAK dominance: the rebuilt lower point commonly equals
+                    # the original referent exactly, and the completed
+                    # referent must not drop out of the volume accounting
+                    # then (reference maybe_add_completed ipro.py:294-304;
+                    # r4 advisor finding)
+                    if np.all(np.asarray(lower) >= np.asarray(referent)):
                         self.update_not_found(lower, old_vec)
                         new_subs.append((lower, old_vec))
                         break
-        if not inserted and len(subsolutions) > 0:
-            # vec belongs at the end of the history
+        if not inserted and len(subsolutions) > 0 and len(self.lower_points) > 0:
+            # vec belongs at the end of the history (empty lower set = full
+            # coverage, nothing left to attribute it to — r4 advisor finding)
             ref0 = self.select_referent()
             if _strict_dom(vec, ref0):
                 self.update_found(ref0, vec)

@@ -65,6 +65,19 @@ class NLMOPPOConfig:
     clip_vloss: bool = True
     mc_k: int = 32  # init states used to evaluate ∂u/∂v
     hidden: tuple = (64, 64)
+    # per-train()-call schedules — each oracle call re-anneals, so a policy
+    # warm-started from the previous referent's optimum regains plasticity
+    # (the reference anneals lr per call, nl_mo_ppo.py:464-466; the entropy
+    # ramp is ours, for depth-cliff envs like DST where the warm-started
+    # optimum is a hard local trap)
+    anneal_lr: bool = True
+    ent_coef_start: float | None = None  # None = constant ent_coef
+    # track the best-utility evaluated iterate across the call and return it
+    # instead of the final policy's eval (an approximate Pareto oracle should
+    # not forget a better policy it already proved; every returned point is
+    # still a real greedy-policy evaluation)
+    track_best: bool = True
+    eval_reps: int = 5
     seed: int = 0
 
 
@@ -109,8 +122,15 @@ class NLMOPPO(MOAgentBase):
         )
 
     @partial(jax.jit, static_argnums=(0, 2))
-    def train_iteration(self, state: NLMOPPOState, u_func: Callable[[jnp.ndarray], jnp.ndarray]):
+    def train_iteration(
+        self,
+        state: NLMOPPOState,
+        u_func: Callable[[jnp.ndarray], jnp.ndarray],
+        ent_coef: jnp.ndarray | float | None = None,
+        lr_frac: jnp.ndarray | float = 1.0,
+    ):
         cfg = self.cfg
+        ent_coef = cfg.ent_coef if ent_coef is None else ent_coef
         N, T = cfg.num_envs, cfg.num_steps
 
         def rollout(carry, _):
@@ -192,10 +212,19 @@ class NLMOPPO(MOAgentBase):
                         v_loss = 0.5 * jnp.mean((v - b_ret[idx]) ** 2)
                     probs = jax.nn.softmax(logits)
                     ent = -jnp.mean(jnp.sum(probs * logp_all, axis=-1))
-                    return pg_loss - cfg.ent_coef * ent + cfg.vf_coef * v_loss
+                    return pg_loss - ent_coef * ent + cfg.vf_coef * v_loss
 
                 loss, grads = jax.value_and_grad(loss_fn)(ts.params)
-                return ts.apply_gradients(grads=grads), loss
+                # lr annealing without rebuilding the optimizer: scale the
+                # post-Adam update (equivalent to scaling Adam's lr)
+                updates, opt_state = ts.tx.update(grads, ts.opt_state, ts.params)
+                updates = jax.tree.map(lambda u: u * lr_frac, updates)
+                ts = ts.replace(
+                    params=optax.apply_updates(ts.params, updates),
+                    opt_state=opt_state,
+                    step=ts.step + 1,
+                )
+                return ts, loss
 
             ts, losses = jax.lax.scan(minibatch, ts, jnp.arange(cfg.num_minibatches))
             return ts, jnp.mean(losses)
@@ -239,12 +268,35 @@ class NLMOPPO(MOAgentBase):
         u_func: Callable[[jnp.ndarray], jnp.ndarray],
         state: NLMOPPOState | None = None,
     ):
-        """Train against the non-linear utility; returns (state, pareto_point)."""
+        """Train against the non-linear utility; returns (state, pareto_point).
+
+        Per call: lr anneals 1 -> 0 and the entropy coefficient ramps
+        ent_coef_start -> ent_coef (when set); with ``track_best`` the
+        returned point is the best-by-u evaluated iterate across the call."""
         cfg = self.cfg
         state = state if state is not None else self.init_state()
         per_iter = cfg.num_envs * cfg.num_steps
         n_iters = max(1, total_timesteps // per_iter)
-        for _ in range(n_iters):
-            state, loss = self.train_iteration(state, u_func)
-        point = np.asarray(self.policy_evaluate(state, jax.random.key(cfg.seed + 7), 5))
+        best_point, best_u = None, -np.inf
+        for i in range(n_iters):
+            frac = i / max(n_iters - 1, 1)
+            lr_frac = 1.0 - i / n_iters if cfg.anneal_lr else 1.0
+            ent = (
+                cfg.ent_coef_start + (cfg.ent_coef - cfg.ent_coef_start) * frac
+                if cfg.ent_coef_start is not None
+                else cfg.ent_coef
+            )
+            state, loss = self.train_iteration(state, u_func, jnp.float32(ent), jnp.float32(lr_frac))
+            if cfg.track_best and n_iters > 1:
+                pt = self.policy_evaluate(
+                    state, jax.random.key(cfg.seed + 7 + i), cfg.eval_reps
+                )
+                u_val = float(u_func(jnp.asarray(pt)))
+                if u_val > best_u:
+                    best_u, best_point = u_val, np.asarray(pt)
+        point = np.asarray(
+            self.policy_evaluate(state, jax.random.key(cfg.seed + 7), cfg.eval_reps)
+        )
+        if cfg.track_best and best_point is not None and best_u > float(u_func(jnp.asarray(point))):
+            point = best_point
         return state, point

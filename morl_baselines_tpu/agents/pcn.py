@@ -231,6 +231,7 @@ class PCN(MOAgentBase):
         ref_point: np.ndarray | None = None,
         known_pareto_front: np.ndarray | None = None,
         num_er_episodes: int = 32,
+        eval_freq: int | None = None,
         state: PCNState | None = None,
     ) -> PCNState:
         cfg = self.cfg
@@ -250,6 +251,7 @@ class PCN(MOAgentBase):
             state = state._replace(buffer=state.buffer.add_episodes(eps, lorenz_lambda=self._buffer_rank_lambda))
             state = state._replace(global_step=state.global_step + jnp.sum(eps.length))
 
+        last_eval = -(10**18)
         while int(state.global_step) < total_timesteps:
             key, ku, kc, ke = jax.random.split(key, 4)
             ts, loss = self.update_model(state.ts, state.buffer, ku)
@@ -262,6 +264,9 @@ class PCN(MOAgentBase):
                 desired_return=cmds[0, : self.reward_dim],
                 desired_horizon=cmds[0, self.reward_dim],
             )
+            if eval_freq is not None and int(state.global_step) - last_eval < eval_freq:
+                continue
+            last_eval = int(state.global_step)
             if ref_point is not None:
                 front, valid = np.asarray(state.buffer.data.vec_return), np.asarray(
                     np.arange(state.buffer.capacity) < int(state.buffer.size)

@@ -72,6 +72,10 @@ class NLMOPPOConfig:
     # optimum is a hard local trap)
     anneal_lr: bool = True
     ent_coef_start: float | None = None  # None = constant ent_coef
+    # fraction of the call over which the entropy ramp completes; the tail
+    # (1 - frac) trains at ent_coef while lr is still non-negligible — a
+    # full-call ramp leaves no window to exploit before lr anneals away
+    ent_ramp_frac: float = 0.5
     # track the best-utility evaluated iterate across the call and return it
     # instead of the final policy's eval (an approximate Pareto oracle should
     # not forget a better policy it already proved; every returned point is
@@ -281,8 +285,9 @@ class NLMOPPO(MOAgentBase):
         for i in range(n_iters):
             frac = i / max(n_iters - 1, 1)
             lr_frac = 1.0 - i / n_iters if cfg.anneal_lr else 1.0
+            ramp = min(frac / max(cfg.ent_ramp_frac, 1e-8), 1.0)
             ent = (
-                cfg.ent_coef_start + (cfg.ent_coef - cfg.ent_coef_start) * frac
+                cfg.ent_coef_start + (cfg.ent_coef - cfg.ent_coef_start) * ramp
                 if cfg.ent_coef_start is not None
                 else cfg.ent_coef
             )

@@ -180,7 +180,15 @@ class ProbabilisticEnsemble:
         )
 
     @partial(jax.jit, static_argnums=(0,))
-    def fit_converged(self, state: EnsembleState, X: jnp.ndarray, Y: jnp.ndarray, n: jnp.ndarray, key: jax.Array):
+    def fit_converged(
+        self,
+        state: EnsembleState,
+        X: jnp.ndarray,
+        Y: jnp.ndarray,
+        n: jnp.ndarray,
+        key: jax.Array,
+        row_weights: jnp.ndarray | None = None,
+    ):
         """Whole-buffer fit-to-convergence — the reference's fit protocol
         (probabilistic_ensemble.py:196-290), jit-friendly:
 
@@ -198,6 +206,11 @@ class ProbabilisticEnsemble:
         - Fresh Adam (+ kernel L2) every fit (reference :225-229); the FINAL
           params are kept at the early stop, elites by final holdout MSE
           (reference keeps the stopped weights, not a best snapshot).
+        - ``row_weights`` (optional, (capacity,)): per-row NLL loss weights,
+          normalized per batch.  A deviation knob from the reference's
+          uniform loss for rare-event regimes (e.g. minecart sale rows are
+          ~0.1% of the buffer) where the epoch budget bounds how often the
+          fit visits them; None = reference-faithful uniform.
 
         Returns (new_state, mean_holdout_mse, epochs_run).
         """
@@ -241,11 +254,16 @@ class ProbabilisticEnsemble:
                 pos = jax.random.randint(jax.random.fold_in(k, b), (E, cfg.batch_size), 0, n_tr)
                 rows = jnp.take_along_axis(boot_rows, pos, axis=1)  # (E, B)
                 xb, yb = Xn[rows], Y[rows]
+                if row_weights is not None:
+                    rw = row_weights[rows]  # (E, B)
+                    rw = rw / jnp.maximum(jnp.mean(rw, axis=1, keepdims=True), 1e-8)
 
                 def loss_fn(p):
                     mean, logvar = self._apply_per_member(p, xb)
                     inv_var = jnp.exp(-logvar)
                     nll = 0.5 * (((mean - yb) ** 2) * inv_var + logvar)
+                    if row_weights is not None:
+                        nll = nll * rw[..., None]
                     return jnp.sum(jnp.mean(nll, axis=(1, 2)))
 
                 grads = jax.grad(loss_fn)(params)

@@ -229,7 +229,7 @@ def gpils_minecart(seed: int, variant: dict | None = None):
                 metrics={k: float(v) for k, v in agent._last_metrics.items()})
 
 
-def gpipd_minecart(seed: int):
+def gpipd_minecart(seed: int, _name: str = "gpipd_minecart", **_overrides):
     """GPI-PD, REFERENCE DEFAULTS (dyna on) with the r5 fit-to-convergence
     dynamics protocol, on minecart at the reference example's exact ratios
     (examples/gpi_pd_minecart.py, 150k steps = 15 x 10k):
@@ -278,7 +278,11 @@ def gpipd_minecart(seed: int):
         ),
         log=True,
     )
-    agent.logger = _logger("gpipd_minecart", seed)
+    if _overrides:
+        from dataclasses import replace as _replace
+
+        agent = GPIPD(env, _replace(agent.cfg, **_overrides), log=True)
+    agent.logger = _logger(_name, seed)
     agent.train(
         total_timesteps=1_500 if SMOKE else 150_000,
         ref_point=np.array([0.0, 0.0, -200.0]),
@@ -293,7 +297,15 @@ def gpipd_minecart(seed: int):
     )
     return dict(ccs=[list(map(float, v)) for v in agent.ccs],
                 metrics={k: float(v) for k, v in agent._last_metrics.items()},
-                **_hv_trajectory("gpipd_minecart", seed))
+                **_hv_trajectory(_name, seed))
+
+
+def gpipd_minecart_rw(seed: int):
+    """Dyna-on minecart with rare-sale-weighted dynamics NLL (the bounded-
+    epoch substitute for the reference's unbounded fit; models/dynamics.py
+    fit_converged row_weights).  Sale rows ~0.1% of the buffer get 100x
+    loss weight, batch-normalized."""
+    return gpipd_minecart(seed, _name="gpipd_minecart_rw", dynamics_fit_positive_weight=99.0)
 
 
 def gpils_cont_hopper(seed: int):
@@ -500,13 +512,16 @@ def ipro_dst(seed: int):
             iter_total_timesteps=1_024 if SMOKE else 150_000,
             offset=1.0, seed=seed,
             # deep treasures need ~10+ zero-reward moves.  r5: each oracle
-            # call ramps entropy 0.2 -> 0.01 (escape the warm-started local
-            # trap early, sharpen late), anneals lr, and returns its
-            # best-by-AASF evaluated iterate (r4's constant-entropy oracle
-            # collapsed every run to the 2 init extrema)
+            # call ramps entropy 0.15 -> 0.05 over its first half (escape
+            # the warm-started local trap early, exploit while lr is still
+            # alive — a full-call 0.2->0.01 ramp left no exploit window and
+            # collapsed to the nearest treasure), anneals lr, and returns
+            # its best-by-AASF evaluated iterate (r4's constant-entropy
+            # oracle collapsed every run to the 2 init extrema)
             ppo=NLMOPPOConfig(num_envs=64, num_steps=128, update_epochs=4,
-                              num_minibatches=4, gamma=0.995, ent_coef=0.01,
-                              ent_coef_start=0.2, anneal_lr=True, track_best=True,
+                              num_minibatches=4, gamma=0.995, ent_coef=0.05,
+                              ent_coef_start=0.15, ent_ramp_frac=0.5,
+                              anneal_lr=True, track_best=True,
                               seed=seed),
         ),
         log=True,
@@ -758,6 +773,7 @@ CONFIGS = dict(
     gpils_dst=gpils_dst,
     gpils_minecart=gpils_minecart,
     gpipd_minecart=gpipd_minecart,
+    gpipd_minecart_rw=gpipd_minecart_rw,
     gpipd_minecart_nodyna=gpipd_minecart_nodyna,
     gpipd_minecart_strongmodel=gpipd_minecart_strongmodel,
     gpipd_hopper=gpipd_hopper,

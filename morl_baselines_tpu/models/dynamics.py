@@ -371,7 +371,18 @@ def termination_fn_minecart(obs, act, next_obs, rew=None):
     # 6:8 silently clipped to the single index 6, so carts carrying only ore
     # type 0 never triggered imagined-rollout termination)
     has_cargo = jnp.sum(obs[:, 5:7], axis=-1) > 0.0
-    return in_base & was_out & has_cargo
+    geo = in_base & was_out & has_cargo
+    if rew is None:
+        return geo
+    # ALSO terminate when the model itself predicts a sale reward: the
+    # model's reward and position heads are not exactly consistent, so a
+    # predicted sale whose position lands just outside the base radius
+    # would otherwise bootstrap into a hallucinated post-sale state —
+    # exactly the Q-corruption this fn exists to stop (r5; the reference's
+    # own termination_fn_dst keys on predicted reward the same way,
+    # common/model_based/utils.py:9-22).
+    sold = jnp.sum(rew[:, 0:2], axis=-1) > 0.15
+    return geo | sold
 
 
 def get_termination_fn(env_name: str):

@@ -72,6 +72,12 @@ def test_minecart_model_termination():
     nxt = jnp.asarray(np.stack([in_base, in_base, in_base, in_base]))
     term = np.asarray(fn(obs, None, nxt))
     assert term.tolist() == [True, False, False, True]
+    # reward-keyed termination: a model-predicted sale reward terminates even
+    # when the predicted position misses the base radius (r5)
+    far = jnp.asarray(np.stack([out_with_cargo] * 2))
+    rew = jnp.asarray(np.array([[0.6, 0.2, -1.0], [0.0, 0.0, -1.0]], dtype=np.float32))
+    term2 = np.asarray(fn(far, None, far, rew))
+    assert term2.tolist() == [True, False]
 
 
 def test_ensemble_fit_converged():

@@ -71,6 +71,35 @@ class MOPPONet(nn.Module):
         return pi, None, v
 
 
+def vector_gae(v_t, rew_t, done_t, last_v, gamma: float, gae_lambda: float):
+    """Per-objective GAE over a (T, N, d) rollout (reference mo_ppo.py:433-476,
+    CleanRL ppo.py semantics).
+
+    The boundary mask is each transition's OWN done flag: ``delta_t = r_t +
+    gamma * V(s_{t+1}) * (1 - done_t) - V(s_t)`` and the advantage chain also
+    cuts at done_t.  (Masking with the NEXT step's done — the r1-r4 bug —
+    bootstrapped terminal steps into the next episode's reset value and
+    zeroed the step before the terminal, corrupting value targets at every
+    episode boundary; fatal on short-episode envs.)
+    """
+
+    def gae_step(carry, xs):
+        adv_next, v_next = carry
+        v, r, done = xs
+        nonterm = (1.0 - done)[:, None]
+        delta = r + gamma * v_next * nonterm - v
+        adv = delta + gamma * gae_lambda * nonterm * adv_next
+        return (adv, v), adv
+
+    (_, _), adv_t = jax.lax.scan(
+        gae_step,
+        (jnp.zeros_like(last_v), last_v),
+        (v_t, rew_t, done_t),
+        reverse=True,
+    )
+    return adv_t
+
+
 @dataclass(frozen=True)
 class MOPPOConfig:
     learning_rate: float = 3e-4
@@ -218,20 +247,7 @@ class MOPPO(MOAgentBase):
         last_nobs = self._norm_obs(state.obs_norm, state.obs)
         _, _, last_v = self.net.apply(state.ts.params, last_nobs)
 
-        def gae_step(carry, xs):
-            adv_next, v_next, nonterm_next = carry
-            v, r, term, done = xs
-            nonterm = 1.0 - term
-            delta = r + cfg.gamma * v_next * nonterm_next[:, None] - v
-            adv = delta + cfg.gamma * cfg.gae_lambda * nonterm_next[:, None] * adv_next
-            return (adv, v, 1.0 - done), adv
-
-        (_, _, _), adv_t = jax.lax.scan(
-            gae_step,
-            (jnp.zeros((N, self.reward_dim)), last_v, jnp.ones((N,))),
-            (v_t, rew_t, term_t, done_t),
-            reverse=True,
-        )
+        adv_t = vector_gae(v_t, rew_t, done_t, last_v, cfg.gamma, cfg.gae_lambda)
         returns_t = adv_t + v_t
 
         # flatten batch

@@ -30,6 +30,7 @@ from ..envs.base import MOEnv
 from ..envs.vector import EpisodeStats, VectorMOEnv
 from ..models.networks import MLP, TrainState
 from .base import MOAgentBase
+from .moppo import vector_gae
 
 
 class NLAgentNet(nn.Module):
@@ -163,17 +164,7 @@ class NLMOPPO(MOAgentBase):
 
         _, last_v = self.net.apply(state.ts.params, state.obs, state.acc)
 
-        def gae(carry, xs):
-            adv_next, v_next, nonterm_next = carry
-            v, r, term, done = xs
-            delta = r + cfg.gamma * v_next * nonterm_next[:, None] - v
-            adv = delta + cfg.gamma * cfg.gae_lambda * nonterm_next[:, None] * adv_next
-            return (adv, v, 1.0 - done), adv
-
-        (_, _, _), adv_t = jax.lax.scan(
-            gae, (jnp.zeros((N, self.reward_dim)), last_v, jnp.ones((N,))),
-            (v_t, rew_t, term_t, done_t), reverse=True,
-        )
+        adv_t = vector_gae(v_t, rew_t, done_t, last_v, cfg.gamma, cfg.gae_lambda)
         ret_t = adv_t + v_t
 
         # loss weights w = du/dv at mean V(s0) (reference :310-323)

@@ -292,3 +292,37 @@ def test_tpe_suggest_concentrates_on_good_region():
     # cold start falls back to random sampling within bounds
     cold = tpe_suggest(lr_space | bs_space, [], rng)
     assert 1e-4 <= cold["learning_rate"] <= 1e-1 and cold["batch_size"] in (32, 64, 128)
+
+
+def test_vector_gae_episode_boundaries():
+    """vector_gae must cut both the bootstrap and the advantage chain at each
+    transition's OWN done flag (CleanRL semantics; the r1-r4 next-step mask
+    corrupted targets at every boundary)."""
+    from morl_baselines_tpu.agents.moppo import vector_gae
+
+    rng = np.random.default_rng(0)
+    T, N, d, gamma, lam = 7, 3, 2, 0.9, 0.8
+    v = rng.normal(size=(T, N, d)).astype(np.float32)
+    r = rng.normal(size=(T, N, d)).astype(np.float32)
+    done = (rng.uniform(size=(T, N)) < 0.3).astype(np.float32)
+    last_v = rng.normal(size=(N, d)).astype(np.float32)
+
+    got = np.asarray(vector_gae(jnp.asarray(v), jnp.asarray(r), jnp.asarray(done), jnp.asarray(last_v), gamma, lam))
+
+    # reference loop (CleanRL ppo.py), per env/objective
+    want = np.zeros_like(v)
+    for n in range(N):
+        adv_next = np.zeros(d)
+        v_next = last_v[n]
+        for t in reversed(range(T)):
+            nonterm = 1.0 - done[t, n]
+            delta = r[t, n] + gamma * v_next * nonterm - v[t, n]
+            adv = delta + gamma * lam * nonterm * adv_next
+            want[t, n] = adv
+            adv_next, v_next = adv, v[t, n]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # a terminal transition's advantage must not see the next value at all
+    t_idx, n_idx = int(np.argwhere(done[:, 0] == 1.0)[0][0]), 0
+    assert np.allclose(
+        got[t_idx, n_idx], r[t_idx, n_idx] - v[t_idx, n_idx], rtol=1e-5
+    )

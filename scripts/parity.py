@@ -537,6 +537,44 @@ def ipro_dst(seed: int):
                 dist_to_known_front=d2known)
 
 
+def ipro_dst_fine(seed: int):
+    """IPRO/DST at tighter tolerance (0.02) and a larger iteration cap: with
+    the GAE-boundary fix the oracle finds deep treasures, so a finer
+    decomposition recovers more of the front (runs are ~1-2 min on-chip)."""
+    from dataclasses import replace
+
+    from morl_baselines_tpu.agents.ipro import IPRO, IPROConfig
+    from morl_baselines_tpu.agents.nlmoppo import NLMOPPOConfig
+    from morl_baselines_tpu.core.pareto import filter_pareto_dominated
+    from morl_baselines_tpu.envs import make
+
+    env = make("deep-sea-treasure-v0")
+    ipro = IPRO(
+        env,
+        IPROConfig(
+            tolerance=0.02, max_iterations=3 if SMOKE else 40,
+            iter_total_timesteps=1_024 if SMOKE else 150_000,
+            offset=1.0, seed=seed,
+            ppo=NLMOPPOConfig(num_envs=64, num_steps=128, update_epochs=4,
+                              num_minibatches=4, gamma=0.995, ent_coef=0.05,
+                              ent_coef_start=0.15, ent_ramp_frac=0.5,
+                              anneal_lr=True, track_best=True,
+                              seed=seed),
+        ),
+        log=True,
+    )
+    ipro.logger = _logger("ipro_dst_fine", seed)
+    pf = ipro.train()
+    known = np.asarray(filter_pareto_dominated(np.asarray(env.pareto_front(0.99))))
+    pf_arr = np.asarray(pf).reshape(-1, 2)
+    d2known = [float(np.min(np.linalg.norm(known - p[None], axis=1))) for p in pf_arr]
+    uniq = sorted(set(tuple(round(float(x), 3) for x in p) for p in pf_arr))
+    return dict(pf=[list(map(float, p)) for p in pf_arr], pf_unique=len(uniq),
+                coverage=float(ipro.coverage),
+                error=float(ipro.error), replay_triggered=int(ipro.replay_triggered),
+                dist_to_known_front=d2known)
+
+
 def pgmorl_halfcheetah(seed: int):
     """BASELINE config 5a: PGMORL population on device-resident planar
     halfcheetah, vectorized (all 6 PPO workers in one vmapped program), at the
@@ -778,6 +816,7 @@ CONFIGS = dict(
     gpipd_minecart_strongmodel=gpipd_minecart_strongmodel,
     gpipd_hopper=gpipd_hopper,
     ipro_dst=ipro_dst,
+    ipro_dst_fine=ipro_dst_fine,
     gpils_cont_hopper=gpils_cont_hopper,
     gpils_cont_hopper_500k=gpils_cont_hopper_500k,
     pgmorl_halfcheetah=pgmorl_halfcheetah,

@@ -353,10 +353,19 @@ class GPIPD(GPILS):
                         batch = real
                     # per-row current task weights: with per-episode weight
                     # resampling the env weights diverge, so sample across envs
-                    kw1, kw2 = jax.random.split(kw2)
+                    kw1, kw2, kw3 = jax.random.split(kw2, 3)
                     w1 = task_w[jax.random.randint(kw1, (half,), 0, cfg.num_envs)]
                     sidx = jax.random.randint(kw2, (cfg.batch_size - half,), 0, s.support_size)
                     w = jnp.concatenate([w1, s.support[sidx]], axis=0)
+                    # decorrelate weight assignment from data provenance: the
+                    # batch is [real | imagined] in order, so without this
+                    # permutation the support-weight Qs (which drive GPI and
+                    # the envelope target) would train ONLY on imagined rows
+                    # and real data would never reach them (the reference
+                    # builds its weight batch independently of the real/
+                    # imagined mix, gpi_pd.py:425-438) — measured r5 failure
+                    # mode: dyna-on ignites then erodes while nodyna holds.
+                    w = jax.random.permutation(kw3, w)
                     ts, loss, td_w, gtd_w = self._update_pd(
                         ts, batch, w, s.support, s.support_size, ku
                     )

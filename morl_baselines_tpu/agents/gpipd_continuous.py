@@ -222,7 +222,7 @@ class GPIPDContinuous(GPILSContinuous):
 
             def do_update(s2):
                 def one(s3, k):
-                    kb, kd, kw1, kw2, ku = jax.random.split(k, 5)
+                    kb, kd, kw1, kw2, kw3, ku = jax.random.split(k, 6)
                     if cfg.per:
                         real, idxb, _ = s3.buffer.sample(kb, n_real)
                     else:
@@ -242,6 +242,10 @@ class GPIPDContinuous(GPILSContinuous):
                     w1 = s3.task_w[jax.random.randint(kw1, (half,), 0, cfg.num_envs)]
                     sidx = jax.random.randint(kw2, (cfg.batch_size - half,), 0, s3.support_size)
                     w = jnp.concatenate([w1, s3.support[sidx]], axis=0)
+                    # decorrelate weight assignment from the [real | imagined]
+                    # batch order (see gpipd.py: support-weight Qs must not
+                    # train exclusively on imagined rows)
+                    w = jax.random.permutation(kw3, w)
                     s3, td_w = self._update(s3, batch, w, ku)
                     if cfg.per:
                         prio = jnp.clip(td_w[:n_real], cfg.min_priority) ** cfg.per_alpha

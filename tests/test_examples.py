@@ -37,6 +37,10 @@ _CFG_CAPS = {
     "update_epochs": 2,
     "mc_k": 4,
     "set_capacity": 8,
+    # IPRO outer loop (budget lives in its config, not a train kwarg)
+    "iter_total_timesteps": 512,
+    "max_iterations": 2,
+    "num_steps": 32,
 }
 _TRAIN_CAPS = {
     "total_timesteps": 600,

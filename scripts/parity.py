@@ -392,18 +392,17 @@ def _gpipd_minecart_base(seed: int, name: str, **overrides):
 
 
 def gpipd_minecart_nodyna(seed: int):
-    """The r4 CANONICAL GPI-PD minecart operating point: envelope-target GTD
-    priorities + per-new-weight recompute WITHOUT imagined data (dyna=False).
+    """GPI-PD minecart WITHOUT imagined data (dyna=False): envelope-target
+    GTD priorities + per-new-weight recompute only.
 
-    The instrumented ablations (results/r4/RESULTS_r4.md) show that at the
-    150k reference budget the prioritization alone reproduces the paper's
-    sample-efficiency claim (HV 9.2 by 120k, eval/mul = 0.0 from 130k),
-    while dyna half-batches from our fixed-budget model fit dilute the
-    rare-sale gradient signal and prevent/undo ignition (seeds 0-1 of
-    parity_gpipd_minecart, gpipd_minecart_strongmodel). The reference gets
-    away with dyna by fitting its model on the whole buffer to convergence
-    every 250 steps; closing that gap fully is future work (the fit now
-    keeps best-on-holdout params as a first step)."""
+    Was the canonical operating point in r4 (the prioritization alone
+    reproduces the paper's sample-efficiency claim: HV 9.2 by 120k,
+    eval/mul = 0.0 from 130k) while dyna-on failed.  Since r5 the
+    REFERENCE-DEFAULT dyna-on config (``gpipd_minecart``) works — it took
+    fit-to-convergence dynamics, reward-keyed imagined termination, and
+    weight/provenance decoupling (results/r5/RESULTS_r5.md) — so this is
+    now the cheaper ablation, kept on the 10-seed protocol for the
+    dyna-vs-nodyna comparison."""
     return _gpipd_minecart_base(seed, "gpipd_minecart_nodyna", dyna=False)
 
 
